@@ -1,0 +1,27 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+The container's sitecustomize pre-imports jax with JAX_PLATFORMS=axon (the
+tunneled real TPU); env vars are therefore snapshotted before conftest runs
+and we must switch platforms through jax.config instead. XLA_FLAGS is read
+lazily at first backend init, so setting it here still works.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

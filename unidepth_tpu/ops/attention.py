@@ -1,0 +1,47 @@
+"""Scaled dot-product attention for TPU.
+
+Two paths:
+  * ``sdpa`` — XLA einsum formulation with fp32 softmax accumulation. XLA
+    already fuses this well on TPU for the moderate sequence lengths UniDepth
+    uses (~1.5-3k tokens); it is the default and the parity reference.
+  * ``flash_attention`` — Pallas blockwise kernel (ops/flash_attention.py)
+    for long sequences; selected automatically above a token threshold.
+
+Semantics match ``torch.nn.functional.scaled_dot_product_attention`` (no
+causal masking; optional additive bias), reference
+unidepth/layers/attention.py:136-138 and backbones/metadinov2/attention.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["sdpa"]
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Attention over ``(B, H, N, D)`` tensors with fp32 accumulation."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = d**-0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * jnp.asarray(scale, jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        weights.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
