@@ -1,0 +1,341 @@
+"""Compact PyTorch oracle for UniDepthV2 parity tests.
+
+A from-scratch torch implementation of the UniDepthV2 forward math (as
+documented in SURVEY.md §3.1) with reference-compatible state_dict key
+names, so that tests can (a) check unidepth_tpu numerics against torch and
+(b) exercise the torch->flax checkpoint converter on realistic key layouts.
+Deliberately minimal: no dropout, no training paths, fp32 only.
+"""
+
+import math
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+def _heads(x, h):
+    b, n, c = x.shape
+    return x.view(b, n, h, c // h).transpose(1, 2)
+
+
+def _unheads(x):
+    b, h, n, d = x.shape
+    return x.transpose(1, 2).reshape(b, n, h * d)
+
+
+class MirrorMLP(nn.Module):
+    def __init__(self, dim, expansion=4, output_dim=None):
+        super().__init__()
+        hidden = int(dim * expansion)
+        self.norm = nn.LayerNorm(dim)
+        self.proj1 = nn.Linear(dim, hidden)
+        self.proj2 = nn.Linear(hidden, output_dim or dim)
+
+    def forward(self, x):
+        return self.proj2(F.gelu(self.proj1(self.norm(x))))
+
+
+class MirrorAttnBlock(nn.Module):
+    def __init__(self, dim, num_heads, expansion=4, layer_scale=1.0, use_bias=True, context_dim=None):
+        super().__init__()
+        ctx = context_dim or dim
+        self.num_heads = num_heads
+        self.kv = nn.Linear(ctx, 2 * dim, bias=use_bias)
+        self.q = nn.Linear(dim, dim, bias=use_bias)
+        self.out = nn.Linear(dim, dim, bias=use_bias)
+        self.norm_attnx = nn.LayerNorm(dim)
+        self.norm_attnctx = nn.LayerNorm(ctx)
+        self.mlp = MirrorMLP(dim, expansion)
+        self.has_ls = layer_scale > 0
+        if self.has_ls:
+            self.ls1 = nn.Module()
+            self.ls1.gamma = nn.Parameter(layer_scale * torch.ones(dim))
+            self.ls2 = nn.Module()
+            self.ls2.gamma = nn.Parameter(layer_scale * torch.ones(dim))
+
+    def forward(self, x, context=None, pos_embed=None):
+        ctx = x if context is None else context
+        y = self.norm_attnx(x)
+        c = self.norm_attnctx(ctx)
+        k, v = self.kv(c).chunk(2, dim=-1)
+        q = _heads(self.q(y), self.num_heads)
+        k = _heads(k, self.num_heads)
+        v = _heads(v, self.num_heads)
+        if pos_embed is not None:
+            q = q + _heads(pos_embed, self.num_heads)
+        a = self.out(_unheads(F.scaled_dot_product_attention(q, k, v)))
+        if self.has_ls:
+            a = a * self.ls1.gamma
+        x = x + a
+        m = self.mlp(x)
+        if self.has_ls:
+            m = m * self.ls2.gamma
+        return x + m
+
+
+class MirrorViTBlock(nn.Module):
+    def __init__(self, dim, heads, mlp_ratio=4.0):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(dim, 3 * dim)
+        self.attn.proj = nn.Linear(dim, dim)
+        self.ls1 = nn.Module()
+        self.ls1.gamma = nn.Parameter(torch.ones(dim))
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, int(dim * mlp_ratio))
+        self.mlp.fc2 = nn.Linear(int(dim * mlp_ratio), dim)
+        self.ls2 = nn.Module()
+        self.ls2.gamma = nn.Parameter(torch.ones(dim))
+        self.heads = heads
+
+    def forward(self, x):
+        b, n, c = x.shape
+        qkv = self.attn.qkv(self.norm1(x)).reshape(b, n, 3, self.heads, c // self.heads)
+        q, k, v = (qkv[:, :, i].transpose(1, 2) for i in range(3))
+        a = F.scaled_dot_product_attention(q, k, v).transpose(1, 2).reshape(b, n, c)
+        x = x + self.attn.proj(a) * self.ls1.gamma
+        m = self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x))))
+        return x + m * self.ls2.gamma
+
+
+class MirrorViT(nn.Module):
+    def __init__(self, dim=64, depth=4, heads=2, patch=14, pos_grid=8, output_idx=(1, 2, 3, 4)):
+        super().__init__()
+        self.patch = patch
+        self.pos_grid = pos_grid
+        self.output_idx = output_idx
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, patch, stride=patch)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.pos_embed = nn.Parameter(torch.randn(1, pos_grid * pos_grid + 1, dim) * 0.02)
+        self.blocks = nn.ModuleList([MirrorViTBlock(dim, heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim)
+
+    def forward(self, x):
+        b, _, H, W = x.shape
+        gh, gw = H // self.patch, W // self.patch
+        t = self.patch_embed.proj(x).flatten(2).transpose(1, 2)  # (B, N, C)
+        pos = self.pos_embed[:, 1:].reshape(1, self.pos_grid, self.pos_grid, -1).permute(0, 3, 1, 2)
+        pos = F.interpolate(pos, size=(gh, gw), mode="bicubic", align_corners=False, antialias=False)
+        pos = pos.permute(0, 2, 3, 1).reshape(1, gh * gw, -1)
+        t = t + pos
+        cls = self.cls_token.expand(b, -1, -1) + self.pos_embed[:, :1]
+        t = torch.cat([cls, t], dim=1)
+        feats, cls_tokens = [], []
+        for i, blk in enumerate(self.blocks):
+            t = blk(t)
+            if (i + 1) in self.output_idx:
+                o = self.norm(t)
+                cls_tokens.append(o[:, :1])
+                feats.append(o[:, 1:].reshape(b, gh, gw, -1))
+        return feats, cls_tokens
+
+
+class MirrorResidualConvUnit(nn.Module):
+    def __init__(self, dim, kernel_size=3, layer_scale=1.0):
+        super().__init__()
+        pad = (kernel_size - 1) // 2
+        self.conv1 = nn.Conv2d(dim, dim, kernel_size, padding=pad)
+        self.conv2 = nn.Conv2d(dim, dim, kernel_size, padding=pad)
+        self.gamma = nn.Parameter(layer_scale * torch.ones(1, dim, 1, 1))
+
+    def forward(self, x):
+        out = F.leaky_relu(x)
+        out = self.conv1(out)
+        out = F.leaky_relu(out)
+        out = self.conv2(out)
+        return self.gamma * out + x
+
+
+class MirrorResUpsampleBil(nn.Module):
+    def __init__(self, dim, output_dim, num_layers=1, kernel_size=3, layer_scale=1.0):
+        super().__init__()
+        self.convs = nn.ModuleList(
+            [MirrorResidualConvUnit(dim, kernel_size, layer_scale) for _ in range(num_layers)]
+        )
+        self.up = nn.ModuleList([nn.Conv2d(dim, output_dim, 1)])
+
+    def forward(self, x):
+        for c in self.convs:
+            x = c(x)
+        x = self.up[0](x)
+        return F.interpolate(x, scale_factor=2, mode="bilinear", align_corners=False)
+
+
+def fourier_feats(x, dim, max_freq):
+    num_bands = dim // x.shape[-1]
+    scales = 2.0 ** torch.linspace(0.0, math.log2(max_freq), steps=num_bands, dtype=x.dtype)
+    xs = x.unsqueeze(-1) * scales * math.pi
+    return torch.sin(xs).flatten(-2)
+
+
+class MirrorV2Decoder(nn.Module):
+    def __init__(self, input_dims, hidden_dim, num_heads=2, expansion=4, depths=(1, 1, 1), out_dim=8, kernel_size=3, layer_scale=1.0):
+        super().__init__()
+        self.hidden_dim = hidden_dim
+        self.depths = depths
+        mult = 2
+        self.input_adapter = nn.Module()
+        self.input_adapter.input_adapters = nn.ModuleList(
+            [nn.Linear(d, hidden_dim) for d in input_dims]
+        )
+        self.camera_token_adapter = nn.Module()
+        self.camera_token_adapter.input_adapters = nn.ModuleList(
+            [nn.Linear(d, hidden_dim) for d in input_dims]
+        )
+        self.level_embeds = nn.Parameter(torch.randn(1, 1, len(input_dims), hidden_dim))
+
+        cam = nn.Module()
+        cam.latents_pos = nn.Parameter(torch.randn(1, 4, hidden_dim))
+        cam.project = MirrorMLP(hidden_dim, 1, hidden_dim)
+        cam.out_pinhole = MirrorMLP(hidden_dim, 1, 1)
+        cam.aggregate1 = MirrorAttnBlock(hidden_dim, num_heads, expansion, layer_scale, use_bias=False)
+        cam.aggregate2 = MirrorAttnBlock(hidden_dim, num_heads, expansion, layer_scale, use_bias=False)
+        self.camera_layer = cam
+
+        d = nn.Module()
+        d.to_latents = nn.Linear(hidden_dim, hidden_dim)
+        d.prompt_camera = nn.ModuleList()
+        for _ in range(4):
+            pc = nn.Module()
+            pc.layers = nn.ModuleList(
+                [MirrorAttnBlock(hidden_dim, num_heads, expansion, layer_scale=-1.0, use_bias=False)]
+            )
+            d.prompt_camera.append(pc)
+        d.process_features = nn.ModuleList()
+        d.ups = nn.ModuleList()
+        for i, dep in enumerate(depths):
+            cur = min(hidden_dim, mult * hidden_dim // int(2**i))
+            nxt = mult * hidden_dim // int(2 ** (i + 1))
+            odim = max(nxt, out_dim)
+            d.process_features.append(
+                nn.ConvTranspose2d(hidden_dim, cur, max(1, 2 * i), stride=max(1, 2 * i))
+            )
+            d.ups.append(MirrorResUpsampleBil(cur, odim, dep, kernel_size, layer_scale))
+        self.final_dim = odim
+        d.depth_mlp = nn.ModuleList(
+            [nn.Identity() for _ in range(len(depths) - 1)]
+            + [nn.Sequential(nn.LayerNorm(nxt), nn.Linear(nxt, odim))]
+        )
+        d.confidence_mlp = nn.Sequential(nn.LayerNorm(nxt), nn.Linear(nxt, odim))
+        d.to_depth_lr = nn.Conv2d(odim, odim // 2, 3, padding=1, padding_mode="reflect")
+        d.to_confidence_lr = nn.Conv2d(odim, odim // 2, 3, padding=1, padding_mode="reflect")
+        d.to_depth_hr = nn.Sequential(
+            nn.Conv2d(odim // 2, 32, 3, padding=1, padding_mode="reflect"),
+            nn.LeakyReLU(),
+            nn.Conv2d(32, 1, 1),
+        )
+        d.to_confidence_hr = nn.Sequential(
+            nn.Conv2d(odim // 2, 32, 3, padding=1, padding_mode="reflect"),
+            nn.LeakyReLU(),
+            nn.Conv2d(32, 1, 1),
+        )
+        self.depth_layer = d
+
+    def forward(self, feats, cls_tokens, image_shape, rays_gt=None):
+        H, W = image_shape
+        b, gh, gw, _ = feats[0].shape
+        feats = [
+            ad(f.reshape(b, gh * gw, -1))
+            for ad, f in zip(self.input_adapter.input_adapters, feats)
+        ]
+        cams = [
+            ad(t) for ad, t in zip(self.camera_token_adapter.input_adapters, cls_tokens)
+        ]
+        tokens = torch.cat(cams, dim=1)
+
+        cl = self.camera_layer
+        t = cl.project(tokens)
+        lp = cl.latents_pos.expand(b, -1, -1)
+        t = cl.aggregate1(t, pos_embed=lp)
+        t = cl.aggregate2(t, pos_embed=lp)
+        x = cl.out_pinhole(t).squeeze(-1)
+        diag = (H * H + W * W) ** 0.5
+        fx = torch.exp(x[:, 0]) * 0.7 * diag
+        fy = torch.exp(x[:, 1]) * 0.7 * diag
+        cx = torch.sigmoid(x[:, 2]) * W
+        cy = torch.sigmoid(x[:, 3]) * H
+
+        ys, xs = torch.meshgrid(
+            torch.linspace(0.5, H - 0.5, H), torch.linspace(0.5, W - 0.5, W), indexing="ij"
+        )
+        rx = (xs[None] - cx[:, None, None]) / fx[:, None, None]
+        ry = (ys[None] - cy[:, None, None]) / fy[:, None, None]
+        rays = torch.stack([rx, ry, torch.ones_like(rx)], dim=-1)
+        rays = rays / rays.norm(dim=-1, keepdim=True).clamp(min=1e-5)
+        rays = rays.reshape(b, H * W, 3)
+        if rays_gt is not None:
+            rays = rays_gt
+
+        dl = self.depth_layer
+        # embed rays at token grid
+        r = rays.view(b, H, W, 3).permute(0, 3, 1, 2)
+        r = F.interpolate(r, size=(gh, gw), mode="bilinear", align_corners=False, antialias=True)
+        r = r.permute(0, 2, 3, 1).reshape(b, gh * gw, 3)
+        r = r / r.norm(dim=-1, keepdim=True).clamp(min=1e-4)
+        polar = torch.acos(r[..., 2])
+        xc = r[..., 0].abs().clamp(min=1e-3) * (2 * (r[..., 0] >= 0).int() - 1)
+        azimuth = torch.atan2(r[..., 1], xc)
+        remb = fourier_feats(torch.stack([polar, azimuth], dim=-1), self.hidden_dim, max(gh, gw) // 2)
+
+        cond = [pc.layers[0](f, context=remb) for pc, f in zip(dl.prompt_camera, feats)]
+        latents = dl.to_latents(cond[0]).view(b, gh, gw, -1).permute(0, 3, 1, 2)
+        cond_maps = [c.view(b, gh, gw, -1).permute(0, 3, 1, 2) for c in cond]
+        outs = []
+        for i, up in enumerate(dl.ups):
+            latents = latents + dl.process_features[i](cond_maps[i + 1])
+            latents = up(latents)
+            outs.append(latents)
+        final = outs[-1]
+        logd = dl.depth_mlp[-1](final.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+        logd = dl.to_depth_lr(logd)
+        logd = F.interpolate(logd, size=(H, W), mode="bilinear", align_corners=True)
+        logd = dl.to_depth_hr(logd)
+        conf = dl.confidence_mlp(final.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+        conf = dl.to_confidence_lr(conf)
+        conf = F.interpolate(conf, size=(H, W), mode="bilinear", align_corners=True)
+        conf = dl.to_confidence_hr(conf)
+
+        K = torch.zeros(b, 3, 3)
+        K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2], K[:, 2, 2] = fx, fy, cx, cy, 1.0
+        return {
+            "radius": torch.exp(logd.clamp(-8, 8) + 2.0),
+            "confidence": torch.exp(conf.clamp(-8, 8)),
+            "intrinsics": K,
+            "rays": rays,
+        }
+
+
+class MirrorUniDepthV2(nn.Module):
+    """pixel_encoder + pixel_decoder with reference-style key names."""
+
+    def __init__(self, **kw):
+        super().__init__()
+        dim = kw.get("dim", 64)
+        self.pixel_encoder = MirrorViT(
+            dim=dim,
+            depth=kw.get("depth", 4),
+            heads=kw.get("heads", 2),
+            output_idx=kw.get("output_idx", (1, 2, 3, 4)),
+        )
+        self.pixel_decoder = MirrorV2Decoder(
+            input_dims=[dim] * 4,
+            hidden_dim=kw.get("hidden_dim", 32),
+            num_heads=kw.get("num_heads", 2),
+            depths=kw.get("depths", (1, 1, 1)),
+            out_dim=kw.get("out_dim", 8),
+        )
+
+    def forward(self, image, rays_gt=None):
+        feats, cls_tokens = self.pixel_encoder(image)
+        out = self.pixel_decoder(
+            feats, cls_tokens, image.shape[-2:], rays_gt=rays_gt
+        )
+        rays = out["rays"].view(image.shape[0], *image.shape[-2:], 3).permute(0, 3, 1, 2)
+        pts = rays * out["radius"]
+        out["points"] = pts
+        out["depth"] = pts[:, -1:]
+        return out

@@ -1,0 +1,208 @@
+"""Convert reference PyTorch checkpoints into unidepth_tpu param pytrees.
+
+Key-mapping tables for the UniDepthV2 state dict
+(reference unidepthv2.py:381-394 strips ``module.`` prefixes; HF Hub stores
+``pytorch_model.bin``/``model.safetensors`` with ``pixel_encoder.*`` /
+``pixel_decoder.*`` roots). Everything is handled host-side with numpy —
+no torch dependency at inference time (torch is only needed to *read*
+``.bin`` files; safetensors parse natively).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+
+__all__ = ["convert_v2_state_dict", "torch_linear", "torch_conv"]
+
+
+def torch_linear(w: np.ndarray) -> np.ndarray:
+    """torch Linear weight (out, in) -> linen Dense kernel (in, out)."""
+    return np.ascontiguousarray(w.T)
+
+
+def torch_conv(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d weight (O, I, kh, kw) -> linen (kh, kw, I, O)."""
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _dense(sd, prefix, bias=True):
+    out = {"kernel": torch_linear(sd[f"{prefix}.weight"])}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _conv(sd, prefix):
+    return {
+        "conv": {
+            "kernel": torch_conv(sd[f"{prefix}.weight"]),
+            "bias": sd[f"{prefix}.bias"],
+        }
+    }
+
+
+def _mlp(sd, prefix):
+    return {
+        "norm": _ln(sd, f"{prefix}.norm"),
+        "proj1": _dense(sd, f"{prefix}.proj1"),
+        "proj2": _dense(sd, f"{prefix}.proj2"),
+    }
+
+
+def _attention_block(sd, prefix, layer_scale=True):
+    out = {
+        "norm_attnx": _ln(sd, f"{prefix}.norm_attnx"),
+        "norm_attnctx": _ln(sd, f"{prefix}.norm_attnctx"),
+        "kv": _dense(sd, f"{prefix}.kv"),
+        "q": _dense(sd, f"{prefix}.q"),
+        "out": _dense(sd, f"{prefix}.out"),
+        "mlp": _mlp(sd, f"{prefix}.mlp"),
+    }
+    if layer_scale and f"{prefix}.ls1.gamma" in sd:
+        out["ls1"] = {"gamma": sd[f"{prefix}.ls1.gamma"]}
+        out["ls2"] = {"gamma": sd[f"{prefix}.ls2.gamma"]}
+    return out
+
+
+def _stack(trees: list) -> dict:
+    """Stack a list of identical param trees along a new leading axis
+    (for nn.scan-ed ViT block segments)."""
+    out = {}
+    for key in trees[0]:
+        vals = [t[key] for t in trees]
+        if isinstance(vals[0], Mapping):
+            out[key] = _stack(vals)
+        else:
+            out[key] = np.stack(vals, axis=0)
+    return out
+
+
+def convert_encoder(sd: dict, output_idx: tuple[int, ...]) -> dict:
+    """DINOv2 ViT weights -> DinoViT params (models/backbones/dinov2.py)."""
+    p = {}
+    pw = sd["patch_embed.proj.weight"]  # (C, 3, p, p)
+    c = pw.shape[0]
+    p["patch_kernel"] = np.ascontiguousarray(
+        pw.transpose(2, 3, 1, 0).reshape(-1, c)
+    )
+    p["patch_bias"] = sd["patch_embed.proj.bias"]
+    p["cls_token"] = sd["cls_token"]
+    p["pos_embed"] = sd["pos_embed"]
+    if "register_tokens" in sd and sd["register_tokens"].shape[1] > 0:
+        p["register_tokens"] = sd["register_tokens"]
+
+    def block(i):
+        pre = f"blocks.{i}"
+        out = {
+            "norm1": _ln(sd, f"{pre}.norm1"),
+            "qkv": _dense(sd, f"{pre}.attn.qkv"),
+            "proj": _dense(sd, f"{pre}.attn.proj"),
+            "norm2": _ln(sd, f"{pre}.norm2"),
+        }
+        if f"{pre}.ls1.gamma" in sd:
+            out["ls1_gamma"] = sd[f"{pre}.ls1.gamma"]
+            out["ls2_gamma"] = sd[f"{pre}.ls2.gamma"]
+        if f"{pre}.mlp.fc1.weight" in sd:
+            out["fc1"] = _dense(sd, f"{pre}.mlp.fc1")
+            out["fc2"] = _dense(sd, f"{pre}.mlp.fc2")
+        else:  # swiglu
+            out["w12"] = _dense(sd, f"{pre}.mlp.w12")
+            out["w3"] = _dense(sd, f"{pre}.mlp.w3")
+        return out
+
+    boundaries = [0, *output_idx]
+    for si in range(len(output_idx)):
+        blocks = [block(i) for i in range(boundaries[si], boundaries[si + 1])]
+        p[f"stage_{si}"] = _stack(blocks)
+    if "norm.weight" in sd:
+        p["norm"] = _ln(sd, "norm")
+    return p
+
+
+def convert_v2_decoder(sd: dict, num_resolutions: int = 4, num_levels: int = 3) -> dict:
+    """V2 Decoder weights -> Decoder params (models/unidepthv2/decoder.py)."""
+    p = {}
+    for i in range(num_resolutions):
+        p[f"input_adapter_{i}"] = _dense(sd, f"input_adapter.input_adapters.{i}")
+        p[f"camera_token_adapter_{i}"] = _dense(
+            sd, f"camera_token_adapter.input_adapters.{i}"
+        )
+    p["level_embeds"] = sd["level_embeds"].reshape(num_resolutions, -1)
+
+    cam = {
+        "latents_pos": sd["camera_layer.latents_pos"],
+        "project": _mlp(sd, "camera_layer.project"),
+        "out_pinhole": _mlp(sd, "camera_layer.out_pinhole"),
+        "aggregate1": _attention_block(sd, "camera_layer.aggregate1"),
+        "aggregate2": _attention_block(sd, "camera_layer.aggregate2"),
+    }
+    p["camera_layer"] = cam
+
+    d = {"to_latents": _dense(sd, "depth_layer.to_latents")}
+    for i in range(4):
+        layers = {}
+        j = 0
+        while f"depth_layer.prompt_camera.{i}.layers.{j}.q.weight" in sd:
+            layers[f"layers_{j}"] = _attention_block(
+                sd, f"depth_layer.prompt_camera.{i}.layers.{j}", layer_scale=False
+            )
+            j += 1
+        d[f"prompt_camera_{i}"] = layers
+    for i in range(num_levels):
+        w = sd[f"depth_layer.process_features.{i}.weight"]  # ConvT (in,out,k,k)
+        d[f"process_features_{i}"] = {
+            "kernel": np.ascontiguousarray(w.transpose(0, 2, 3, 1)),
+            "bias": sd[f"depth_layer.process_features.{i}.bias"],
+        }
+        ups = {"up_proj": _conv(sd, f"depth_layer.ups.{i}.up.0")}
+        j = 0
+        while f"depth_layer.ups.{i}.convs.{j}.conv1.weight" in sd:
+            pre = f"depth_layer.ups.{i}.convs.{j}"
+            unit = {
+                "conv1": _conv(sd, f"{pre}.conv1"),
+                "conv2": _conv(sd, f"{pre}.conv2"),
+            }
+            if f"{pre}.gamma" in sd:
+                unit["gamma"] = sd[f"{pre}.gamma"].reshape(-1)
+            ups[f"convs_{j}"] = unit
+            j += 1
+        d[f"ups_{i}"] = ups
+
+    last = num_levels - 1
+    d["depth_norm"] = _ln(sd, f"depth_layer.depth_mlp.{last}.0")
+    d["depth_linear"] = _dense(sd, f"depth_layer.depth_mlp.{last}.1")
+    d["conf_norm"] = _ln(sd, "depth_layer.confidence_mlp.0")
+    d["conf_linear"] = _dense(sd, "depth_layer.confidence_mlp.1")
+    d["to_depth_lr"] = _conv(sd, "depth_layer.to_depth_lr")
+    d["to_conf_lr"] = _conv(sd, "depth_layer.to_confidence_lr")
+    d["to_depth_hr1"] = _conv(sd, "depth_layer.to_depth_hr.0")
+    d["to_depth_hr2"] = _conv(sd, "depth_layer.to_depth_hr.2")
+    d["to_conf_hr1"] = _conv(sd, "depth_layer.to_confidence_hr.0")
+    d["to_conf_hr2"] = _conv(sd, "depth_layer.to_confidence_hr.2")
+    p["depth_layer"] = d
+    return p
+
+
+def convert_v2_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    output_idx: tuple[int, ...],
+    num_levels: int = 3,
+) -> dict:
+    """Full UniDepthV2 torch state dict -> {'encoder', 'decoder'} pytree."""
+    sd = {
+        re.sub(r"^module\.", "", k): np.asarray(v, dtype=np.float32)
+        for k, v in state_dict.items()
+    }
+    enc = {k[len("pixel_encoder."):]: v for k, v in sd.items() if k.startswith("pixel_encoder.")}
+    dec = {k[len("pixel_decoder."):]: v for k, v in sd.items() if k.startswith("pixel_decoder.")}
+    return {
+        "encoder": convert_encoder(enc, output_idx),
+        "decoder": convert_v2_decoder(dec, num_levels=num_levels),
+    }
