@@ -1,0 +1,71 @@
+"""Evaluation metric parity vs direct torch/numpy computation."""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from unidepth_tpu.ops.knn import chamfer_distance, nn_distances
+from unidepth_tpu.utils.evaluation import eval_3d, eval_depth
+
+
+def test_depth_metrics_match_reference_definitions(rng):
+    gt = rng.uniform(0.5, 10, (2, 24, 32, 1)).astype(np.float32)
+    pred = (gt * rng.uniform(0.7, 1.4, gt.shape)).astype(np.float32)
+    mask = rng.random(gt.shape) > 0.25
+
+    out = eval_depth(jnp.asarray(gt), jnp.asarray(pred), jnp.asarray(mask))
+
+    for i in range(2):
+        g = torch.from_numpy(gt[i, ..., 0][mask[i, ..., 0]])
+        p = torch.from_numpy(pred[i, ..., 0][mask[i, ..., 0]])
+        d1 = (torch.maximum(g / p, p / g) < 1.25).float().mean()
+        rmse = torch.sqrt(((g - p) ** 2).mean())
+        arel = ((g - p).abs() / g).mean()
+        silog = 100 * torch.std(torch.log(p) - torch.log(g))
+        medlog = 100 * (torch.log(p) - torch.log(g)).median().abs()
+        np.testing.assert_allclose(float(out["d1"][i]), d1, rtol=1e-5)
+        np.testing.assert_allclose(float(out["rmse"][i]), rmse, rtol=1e-4)
+        np.testing.assert_allclose(float(out["arel"][i]), arel, rtol=1e-4)
+        np.testing.assert_allclose(float(out["silog"][i]), silog, rtol=1e-3)
+        np.testing.assert_allclose(float(out["medianlog"][i]), medlog, rtol=1e-3, atol=1e-3)
+
+
+def test_ssi_si_variants_handle_affine_offsets(rng):
+    gt = rng.uniform(1, 10, (1, 16, 16, 1)).astype(np.float32)
+    pred = (0.5 * gt + 2.0).astype(np.float32)  # affine-related prediction
+    mask = np.ones_like(gt, bool)
+    out = eval_depth(jnp.asarray(gt), jnp.asarray(pred), jnp.asarray(mask))
+    assert float(out["d1"][0]) < 1.0  # raw fails
+    np.testing.assert_allclose(float(out["d1_ssi"][0]), 1.0)  # ssi recovers
+    assert float(out["arel_ssi"][0]) < 1e-5
+
+
+def test_nn_distances_matches_bruteforce(rng):
+    x = rng.standard_normal((300, 3)).astype(np.float32)
+    y = rng.standard_normal((200, 3)).astype(np.float32)
+    d2, idx = nn_distances(jnp.asarray(x), jnp.asarray(y), chunk=128)
+    brute = ((x[:, None] - y[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d2), brute.min(1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), brute.argmin(1))
+
+
+def test_nn_distances_respects_validity(rng):
+    x = rng.standard_normal((50, 3)).astype(np.float32)
+    y = np.concatenate([x + 100.0, x], axis=0).astype(np.float32)
+    yv = np.concatenate([np.ones(50, bool), np.zeros(50, bool)])
+    d2, _ = nn_distances(jnp.asarray(x), jnp.asarray(y), y_valid=jnp.asarray(yv))
+    # only the far copy is valid: matches brute force over the valid half
+    brute = ((x[:, None] - y[None, :50]) ** 2).sum(-1).min(1)
+    np.testing.assert_allclose(np.asarray(d2), brute, rtol=1e-4)
+
+
+def test_eval_3d_perfect_prediction(rng):
+    pts = rng.standard_normal((1, 12, 16, 3)).astype(np.float32)
+    mask = np.ones((1, 12, 16, 1), bool)
+    th = jnp.asarray(np.linspace(0.01, 1.0, 10).astype(np.float32))
+    out = eval_3d(jnp.asarray(pts), jnp.asarray(pts), jnp.asarray(mask), th)
+    np.testing.assert_allclose(float(out["chamfer"][0]), 0.0, atol=1e-4)
+    # reference F1-AUC normalizes trapz by len(thresholds)
+    # (evaluation_depth.py:90-91): perfect score is (T-1)/T.
+    np.testing.assert_allclose(float(out["F1"][0]), 9.0 / 10.0, atol=1e-3)

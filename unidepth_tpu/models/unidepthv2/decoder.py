@@ -157,7 +157,9 @@ class DepthHead(nn.Module):
         r = flat_interpolate(rays, old=original_shapes, new=shapes, antialias=True)
         r = r / jnp.linalg.norm(r, axis=-1, keepdims=True).clip(1e-4)
         x, y, z = r[..., 0], r[..., 1], r[..., 2]
-        polar = jnp.arccos(jnp.clip(z, -1.0, 1.0))
+        # clip strictly inside (-1, 1): d/dz arccos diverges at |z|=1 and a
+        # ray through the principal point would poison the backward pass.
+        polar = jnp.arccos(jnp.clip(z, -1.0 + 1e-7, 1.0 - 1e-7))
         x_c = jnp.maximum(jnp.abs(x), 1e-3) * jnp.where(x >= 0, 1.0, -1.0)
         azimuth = jnp.arctan2(y, x_c)
         ang = jnp.stack([polar, azimuth], axis=-1)
