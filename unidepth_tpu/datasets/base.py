@@ -1,0 +1,190 @@
+"""Generic HDF5-backed dataset reader.
+
+Replaces the reference's BaseDataset/ImageDataset class tower
+(unidepth/datasets/{base_dataset,image_dataset}.py) with one reader driven
+by a ``DatasetSpec``: split txt stored inside the HDF5, encoded image/depth
+blobs at node paths, 16-bit or 24-bit packed depth, per-date intrinsics
+tables, retry-on-error with a random index (reference
+image_dataset.py:161-171). Output samples are numpy dicts consumed by the
+pipeline transforms (datasets/pipelines.py) and the loader.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Any
+
+import h5py
+import numpy as np
+from PIL import Image
+
+from unidepth_tpu.datasets.pipelines import (
+    AnnotationMask,
+    Compose,
+    ContextCrop,
+    GaussianBlur,
+    RandomColorJitter,
+    RandomFlip,
+    RandomGamma,
+    RandomGrayscale,
+)
+from unidepth_tpu.datasets.specs import INTRINSICS_TABLES, SPECS, DatasetSpec
+
+
+def decode_depth(blob: bytes, depth_scale: float) -> np.ndarray:
+    """PNG blob -> metric depth (H, W) float32. 3-channel images carry
+    24-bit packed depth (reference image_dataset.py:112-121)."""
+    img = np.asarray(Image.open(io.BytesIO(blob)))
+    if img.ndim == 3:
+        img = (
+            img[..., 2].astype(np.float64)
+            + img[..., 1].astype(np.float64) * 255.0
+            + img[..., 0].astype(np.float64) * 255.0 * 255.0
+        )
+    return (img.astype(np.float64) / depth_scale).astype(np.float32)
+
+
+def decode_rgb(blob: bytes) -> np.ndarray:
+    img = Image.open(io.BytesIO(blob))
+    return np.asarray(img.convert("RGB"))
+
+
+class HDF5Dataset:
+    """One dataset = HDF5 shard(s) + split + spec metadata."""
+
+    def __init__(
+        self,
+        spec: DatasetSpec,
+        data_root: str | None = None,
+        test_mode: bool = False,
+        image_shape: tuple[int, int] = (480, 640),
+        augmentations: dict | None = None,
+        benchmark: bool = False,
+        mini: float = 1.0,
+    ):
+        self.spec = spec
+        self.test_mode = test_mode
+        self.image_shape = tuple(image_shape)
+        self.data_root = data_root or os.environ.get("DATAROOT", ".")
+        split = spec.test_split if test_mode else spec.train_split
+        if benchmark and spec.benchmark_split:
+            split = spec.benchmark_split
+        self.split_file = split
+        self.samples = self._load_split()
+        if mini < 1.0 and not test_mode:
+            n = max(1, int(len(self.samples) * mini))
+            self.samples = self.samples[:: max(1, len(self.samples) // n)]
+        aug = augmentations or {}
+        self.resizer = ContextCrop(
+            image_shape=self.image_shape,
+            test_context=aug.get("test_context", 1.0),
+            test_mode=test_mode,
+        )
+        self.masker = AnnotationMask(
+            min_value=0.0,
+            max_value=spec.max_depth if test_mode else None,
+            crop=spec.crop if test_mode else None,
+        )
+        if test_mode:
+            self.augmenter = None
+        else:
+            self.augmenter = Compose(
+                [
+                    RandomFlip(prob=aug.get("flip_p", 0.5)),
+                    RandomColorJitter(
+                        strength=aug.get("random_jitter", 0.4),
+                        prob=aug.get("jitter_p", 0.8),
+                    ),
+                    RandomGamma(
+                        strength=aug.get("random_gamma", 0.2),
+                        prob=aug.get("gamma_p", 0.8),
+                    ),
+                    GaussianBlur(
+                        radius=aug.get("random_blur", 2.0),
+                        prob=aug.get("blur_p", 0.2),
+                    ),
+                    RandomGrayscale(prob=aug.get("grayscale_p", 0.2)),
+                ]
+            )
+
+    # -- split handling ------------------------------------------------
+    def _h5(self, chunk_idx: int = 0) -> h5py.File:
+        path = os.path.join(self.data_root, self.spec.hdf5_paths[chunk_idx])
+        return h5py.File(path, "r", libver="latest", swmr=True)
+
+    def _load_split(self) -> list[tuple]:
+        with self._h5(0) as f:
+            raw = np.array(f[self.split_file]).tobytes().decode("ascii").rstrip("\x00")
+        samples = []
+        for line in raw.strip().split("\n"):
+            parts = line.strip().split(" ")
+            if len(parts) < 2 or parts[1] == "None":
+                continue
+            chunk = int(parts[2]) if len(parts) > 2 and parts[2].isdigit() else 0
+            samples.append((parts[0], parts[1], chunk))
+        return samples
+
+    def __len__(self):
+        return len(self.samples)
+
+    # -- intrinsics ----------------------------------------------------
+    def _intrinsics_for(self, image_name: str) -> np.ndarray | None:
+        if self.spec.intrinsics_table is None:
+            return None
+        table = INTRINSICS_TABLES[self.spec.intrinsics_table]
+        for key, K in table.items():
+            if key in image_name:
+                return np.asarray(K, np.float32)
+        return None
+
+    def _default_K(self) -> np.ndarray:
+        h, w = self.image_shape
+        return np.asarray(
+            [[0.7 * w, 0, 0.5 * w], [0, 0.7 * w, 0.5 * h], [0, 0, 1]], np.float32
+        )
+
+    # -- item ----------------------------------------------------------
+    def _read(self, idx: int) -> dict:
+        image_name, depth_name, chunk = self.samples[idx]
+        with self._h5(chunk) as f:
+            image = decode_rgb(np.array(f["/" + image_name]).tobytes())
+            depth = decode_depth(
+                np.array(f["/" + depth_name]).tobytes(), self.spec.depth_scale
+            )
+        K = self._intrinsics_for(image_name)
+        if K is None:
+            K = self._default_K()
+        return {
+            "image": image,
+            "depth": depth,
+            "K": K,
+            "validity": np.ones(depth.shape, bool),
+            "flip": False,
+            "si": False,
+            "dataset": self.spec.name,
+        }
+
+    def get_single_item(self, idx: int, rng: np.random.Generator) -> dict:
+        sample = self._read(idx)
+        sample = self.resizer(sample, rng)
+        if np.count_nonzero(sample["depth"] > 0) < 50:
+            raise IndexError("too few valid depth points")
+        if self.augmenter is not None:
+            sample = self.augmenter(sample, rng)
+        sample = self.masker(sample, rng)
+        return sample
+
+    def __getitem__(self, idx: int) -> dict:
+        rng = np.random.default_rng()
+        # fault tolerance: retry with a random index on any error
+        for _ in range(8):
+            try:
+                return self.get_single_item(idx, rng)
+            except Exception:
+                idx = int(rng.integers(0, len(self.samples)))
+        raise RuntimeError(f"{self.spec.name}: failed to load any sample")
+
+
+def make_dataset(name: str, **kwargs) -> HDF5Dataset:
+    return HDF5Dataset(SPECS[name], **kwargs)

@@ -1,0 +1,174 @@
+"""Batch assembly and device feeding.
+
+The reference couples torch DataLoader + WeightedRandomSampler +
+ConcatDataset-with-shape-sampling (unidepth/datasets/utils.py:16-235,
+scripts/train.py:287-333). TPU equivalent:
+
+  * ``ShapeSampler`` draws one global (ratio, pixels) per batch within the
+    shape constraints (every sample in a batch shares a static shape — a
+    hard requirement under jit; shapes are quantized to shape_mult so the
+    number of compiled programs stays small);
+  * ``WeightedConcat`` samples child datasets by weight
+    (w_i = n_i^(1/3)-style reweighting of the reference's get_weights);
+  * ``Loader`` runs a thread pool decoding/augmenting on host CPU and
+    yields collated numpy batches ready for ``jax.device_put`` — the
+    reference hardcodes num_workers=0 (train.py:312); here decode overlaps
+    accelerator compute via background threads.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Sequence
+
+import numpy as np
+
+from unidepth_tpu.geometry.cameras import Pinhole
+
+
+class ShapeSampler:
+    """Per-batch global shape sampling (reference ConcatDataset.sample_shape,
+    datasets/utils.py:29-53)."""
+
+    def __init__(self, constraints: dict, num_shapes: int = 8, seed: int = 0):
+        self.c = constraints
+        rng = np.random.default_rng(seed)
+        mult = constraints.get("shape_mult", 14)
+        self.shapes = []
+        for _ in range(num_shapes):
+            ratio = rng.uniform(*constraints["ratio_bounds"])
+            pixels = rng.uniform(constraints["pixels_min"], constraints["pixels_max"])
+            h = int(round((pixels / ratio) ** 0.5 / mult)) * mult
+            w = int(round((pixels * ratio) ** 0.5 / mult)) * mult
+            h = max(h, constraints.get("height_min", 15) // mult * mult + mult)
+            w = max(w, constraints.get("width_min", 15) // mult * mult + mult)
+            self.shapes.append((h, w))
+
+    def sample(self, rng: np.random.Generator) -> tuple[int, int]:
+        if not self.c.get("sample", True):
+            return self.shapes[0]
+        return self.shapes[int(rng.integers(0, len(self.shapes)))]
+
+
+def get_weights(datasets: Sequence, sampling: dict | None = None) -> np.ndarray:
+    """Per-dataset sampling weights (reference datasets/utils.py:194-235):
+    proportional to dataset size damped by a cube root, scaled by the
+    config's per-dataset multiplier."""
+    sizes = np.asarray([len(d) for d in datasets], np.float64)
+    w = np.power(sizes, 1.0 / 3.0)
+    if sampling:
+        mult = np.asarray(
+            [sampling.get(getattr(d, "spec", d).name if hasattr(d, "spec") else d.__class__.__name__, 1.0) for d in datasets]
+        )
+        w = w * mult
+    return w / w.sum()
+
+
+class WeightedConcat:
+    def __init__(self, datasets: Sequence, weights: np.ndarray | None = None, sampling=None):
+        self.datasets = list(datasets)
+        self.weights = (
+            weights if weights is not None else get_weights(self.datasets, sampling)
+        )
+
+    def sample(self, rng: np.random.Generator):
+        di = int(rng.choice(len(self.datasets), p=self.weights))
+        ds = self.datasets[di]
+        idx = int(rng.integers(0, len(ds)))
+        return ds, idx
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack equal-shape samples into a channel-last numpy batch."""
+    imgs = np.stack([s["image"] for s in samples]).astype(np.float32)
+    h, w = imgs.shape[1:3]
+    depth = np.stack([s["depth"] for s in samples])[..., None].astype(np.float32)
+    mask = np.stack(
+        [s.get("depth_mask", s["depth"] > 0) for s in samples]
+    )[..., None]
+    validity = np.stack([s.get("validity", np.ones((h, w), bool)) for s in samples])[
+        ..., None
+    ].astype(np.float32)
+    K = np.stack([s["K"] for s in samples]).astype(np.float32)
+    rays = np.asarray(
+        Pinhole.from_K(K).get_rays(h, w)
+    ).reshape(len(samples), h * w, 3)
+    return {
+        "image": imgs,
+        "depth": depth,
+        "depth_mask": mask,
+        "validity_mask": validity,
+        "K": K,
+        "rays": rays,
+        "si": np.asarray([float(s.get("si", False)) for s in samples], np.float32),
+        "flips": np.asarray([bool(s.get("flip", False)) for s in samples]),
+    }
+
+
+class Loader:
+    """Threaded prefetching loader yielding collated numpy batches."""
+
+    def __init__(
+        self,
+        dataset: WeightedConcat,
+        batch_size: int,
+        shape_sampler: ShapeSampler | None = None,
+        accum: int = 1,
+        num_threads: int = 4,
+        prefetch: int = 2,
+        seed: int = 0,
+        normalize: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shape_sampler = shape_sampler
+        self.accum = accum
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.seed = seed
+        self.normalize = normalize
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._counter = 0
+        self._lock = threading.Lock()
+
+    def _make_batch(self, rng: np.random.Generator) -> dict:
+        shape = (
+            self.shape_sampler.sample(rng) if self.shape_sampler else None
+        )
+        micro = []
+        for _ in range(self.accum):
+            samples = []
+            for _ in range(self.batch_size):
+                ds, idx = self.dataset.sample(rng)
+                if shape is not None and hasattr(ds, "resizer"):
+                    ds.resizer.image_shape = shape
+                s = ds.get_single_item(idx, rng) if hasattr(ds, "get_single_item") else ds[idx]
+                samples.append(s)
+            micro.append(collate(samples))
+        if self.accum == 1:
+            return micro[0]
+        return {k: np.stack([m[k] for m in micro]) for k in micro[0]}
+
+    def _worker(self, tid: int):
+        rng = np.random.default_rng(self.seed + 1000 * tid)
+        while not self._stop.is_set():
+            batch = self._make_batch(rng)
+            try:
+                self._q.put(batch, timeout=1.0)
+            except queue.Full:
+                continue
+
+    def __iter__(self):
+        if not self._threads:
+            for t in range(self.num_threads):
+                th = threading.Thread(target=self._worker, args=(t,), daemon=True)
+                th.start()
+                self._threads.append(th)
+        while True:
+            yield self._q.get()
+
+    def close(self):
+        self._stop.set()

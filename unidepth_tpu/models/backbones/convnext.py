@@ -1,0 +1,143 @@
+"""ConvNeXt(-V2) encoder, TPU-native (NHWC).
+
+Functional parity with reference unidepth/models/backbones/convnext.py
+(timm-style ConvNeXt-L whose forward returns block-granular features at
+``output_idx`` plus mean-pooled per-block tokens, convnext.py:460-471) and
+convnext2.py (GRN variant). Blocks run under ``nn.scan`` — one compiled
+body per stage — and the V1 ``max_stack`` reduction over each stage happens
+in-stage so per-block maps are never materialized:
+
+  * stacking='last'    -> stage-final feature per stage (V2-style);
+  * stacking='max_cls' -> elementwise max over each stage's blocks, with
+    pooled tokens of the last 4 blocks (the V1 consumption pattern,
+    reference unidepthv1/decoder.py:373-380).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from unidepth_tpu.nn.conv import Conv2d
+
+Dtype = jnp.dtype
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvNeXtConfig:
+    depths: tuple[int, ...] = (3, 3, 27, 3)
+    dims: tuple[int, ...] = (192, 384, 768, 1536)
+    use_grn: bool = False  # ConvNeXt-V2
+    drop_path_rate: float = 0.0
+
+    @property
+    def output_idx(self) -> tuple[int, ...]:
+        out, acc = [], 0
+        for d in self.depths:
+            acc += d
+            out.append(acc)
+        return tuple(out)
+
+    @property
+    def embed_dims(self) -> list[int]:
+        out = []
+        for d, dim in zip(self.depths, self.dims):
+            out.extend([dim] * d)
+        return out
+
+
+CONVNEXT_PRESETS = {
+    "convnext_large": ConvNeXtConfig(),
+    "convnext_large_pt": ConvNeXtConfig(),
+    "convnextv2_large": ConvNeXtConfig(use_grn=True),
+    "convnextv2_base": ConvNeXtConfig(dims=(128, 256, 512, 1024), use_grn=True),
+    "convnextv2_huge": ConvNeXtConfig(dims=(352, 704, 1408, 2816), use_grn=True),
+}
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    use_grn: bool = False
+    ls_init: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, _=None):
+        inp = x
+        x = Conv2d(
+            self.dim,
+            kernel_size=7,
+            feature_group_count=self.dim,
+            dtype=self.dtype,
+            name="dwconv",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x.astype(self.dtype))
+        x = nn.gelu(x, approximate=False)
+        if self.use_grn:
+            gx = jnp.sqrt(jnp.sum(jnp.square(x), axis=(1, 2), keepdims=True) + 1e-12)
+            nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+            ggamma = self.param("grn_gamma", nn.initializers.zeros, (4 * self.dim,))
+            gbeta = self.param("grn_beta", nn.initializers.zeros, (4 * self.dim,))
+            x = ggamma.astype(self.dtype) * (x * nx) + gbeta.astype(self.dtype) + x
+        x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
+        if not self.use_grn:
+            gamma = self.param(
+                "gamma", nn.initializers.constant(self.ls_init), (self.dim,)
+            )
+            x = x * gamma.astype(self.dtype)
+        out = inp + x
+        return out, out
+
+
+class ConvNeXt(nn.Module):
+    cfg: ConvNeXtConfig
+    stacking: str = "last"  # 'last' | 'max_cls'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray):
+        cfg = self.cfg
+        x = nn.Conv(
+            cfg.dims[0], kernel_size=(4, 4), strides=(4, 4), padding="VALID",
+            dtype=self.dtype, name="stem_conv",
+        )(image.astype(self.dtype))
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="stem_norm")(x)
+        x = x.astype(self.dtype)
+
+        feats: list[jnp.ndarray] = []
+        tokens: list[jnp.ndarray] = []
+        tail_tokens: list[jnp.ndarray] = []
+        num_stages = len(cfg.depths)
+        for si, (depth, dim) in enumerate(zip(cfg.depths, cfg.dims)):
+            if si > 0:
+                x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name=f"down_norm_{si}")(x)
+                x = nn.Conv(
+                    dim, kernel_size=(2, 2), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype, name=f"down_conv_{si}",
+                )(x.astype(self.dtype))
+            Scanned = nn.scan(
+                nn.remat(ConvNeXtBlock),
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=depth,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )
+            x, ys = Scanned(
+                dim=dim, use_grn=cfg.use_grn, dtype=self.dtype, name=f"stage_{si}"
+            )(x, None)
+            if self.stacking == "max_cls":
+                feats.append(jnp.max(ys, axis=0))
+                # pooled tokens of the tail blocks (last num_stages overall)
+                for bi in range(depth):
+                    blocks_after = sum(cfg.depths[si + 1 :]) + (depth - 1 - bi)
+                    if blocks_after < num_stages:
+                        tail_tokens.append(jnp.mean(ys[bi], axis=(1, 2))[:, None, :])
+            else:
+                feats.append(x)
+                tokens.append(jnp.mean(x, axis=(1, 2))[:, None, :])
+        if self.stacking == "max_cls":
+            tokens = tail_tokens  # natural (depth) order; decoder reverses
+        return feats, tokens

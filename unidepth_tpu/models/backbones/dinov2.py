@@ -67,6 +67,7 @@ class ViTBlock(nn.Module):
     mlp_ratio: float = 4.0
     init_values: float = 1.0
     ffn_layer: str = "mlp"
+    collect: bool = False  # emit the block output as a scan ys
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -109,13 +110,25 @@ class ViTBlock(nn.Module):
                 "ls2_gamma", nn.initializers.constant(self.init_values), (c,)
             )
             y = y * gamma2.astype(self.dtype)
-        return x + y, None
+        out = x + y
+        return out, (out if self.collect else None)
 
 
 class DinoViT(nn.Module):
-    """DINOv2 encoder producing per-stage features and cls tokens."""
+    """DINOv2 encoder producing per-stage features and cls tokens.
+
+    ``stacking``:
+      * 'last' — features/cls of the stage-final block (V2 shipped configs,
+        reference unidepthv2.py:364-372 with stacking_fn='last');
+      * 'max_cls' — V1 behaviour: per-block features get their cls token
+        added (reference unidepthv1.py:321-326), stages reduce with an
+        elementwise max (max_stack), and the returned cls tokens are those
+        of the last ``len(output_idx)`` blocks in natural order
+        (reference unidepthv1/decoder.py:373-380).
+    """
 
     cfg: ViTConfig
+    stacking: str = "last"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -187,8 +200,11 @@ class DinoViT(nn.Module):
             if cfg.use_norm
             else None
         )
+        reg = cfg.num_register_tokens
+        all_cls: list[jnp.ndarray] = []
         for si in range(len(cfg.output_idx)):
             seg_len = boundaries[si + 1] - boundaries[si]
+            collect_ys = self.stacking == "max_cls"
             Scanned = nn.scan(
                 nn.remat(ViTBlock),
                 variable_axes={"params": 0},
@@ -196,20 +212,28 @@ class DinoViT(nn.Module):
                 length=seg_len,
                 metadata_params={nn.meta.PARTITION_NAME: None},
             )
-            x, _ = Scanned(
+            x, ys = Scanned(
                 dim=c,
                 num_heads=cfg.num_heads,
                 mlp_ratio=cfg.mlp_ratio,
                 init_values=cfg.init_values,
                 ffn_layer=cfg.ffn_layer,
+                collect=collect_ys,
                 dtype=self.dtype,
                 name=f"stage_{si}",
             )(x, None)
-            out = x
-            if final_norm is not None:
-                out = final_norm(out).astype(self.dtype)
-            cls_tokens.append(out[:, :1])
-            feats.append(
-                out[:, 1 + cfg.num_register_tokens :].reshape(b, gh, gw, c)
-            )
+            if self.stacking == "max_cls":
+                seg_cls = ys[:, :, :1]  # (L, B, 1, C)
+                seg_patches = ys[:, :, 1 + reg :]
+                combined = jnp.max(seg_patches + seg_cls, axis=0)
+                feats.append(combined.reshape(b, gh, gw, c))
+                all_cls.extend([seg_cls[i] for i in range(seg_len)])
+            else:
+                out = x
+                if final_norm is not None:
+                    out = final_norm(out).astype(self.dtype)
+                cls_tokens.append(out[:, :1])
+                feats.append(out[:, 1 + reg :].reshape(b, gh, gw, c))
+        if self.stacking == "max_cls":
+            cls_tokens = all_cls[-len(cfg.output_idx) :]
         return feats, cls_tokens
