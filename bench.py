@@ -57,13 +57,15 @@ def main():
 
         return jax.lax.fori_loop(0, N, body, (x, jnp.float32(0.0)))
 
-    # compile + warmup
+    # compile + warmup. NOTE: on tunneled devices block_until_ready can
+    # return before remote execution finishes; fetching the scalar value is
+    # the only reliable completion barrier.
     _, acc = bench_fn(params, rgb)
-    jax.block_until_ready(acc)
+    float(acc)
 
     t0 = time.perf_counter()
     _, acc = bench_fn(params, rgb)
-    acc.block_until_ready()
+    float(acc)
     dt = time.perf_counter() - t0
     ips = B * N / dt
 

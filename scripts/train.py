@@ -1,0 +1,161 @@
+"""Training CLI (reference scripts/train.py re-designed for SPMD).
+
+One process drives all local devices; multi-host runs call
+``jax.distributed.initialize`` (replaces torchrun/SLURM + NCCL init).
+
+Usage:
+  python scripts/train.py --config-file configs/config_v2_vitl14.json \
+      [--data-root $DATAROOT] [--dummy-data] [--steps N]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config-file", required=True)
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--dummy-data", action="store_true")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--fsdp", type=int, default=1)
+    ap.add_argument("--checkpoint-dir", default="checkpoints")
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--seed", type=int, default=13)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from unidepth_tpu.datasets.dummy import Dummy
+    from unidepth_tpu.datasets.base import make_dataset
+    from unidepth_tpu.datasets.loader import Loader, ShapeSampler, WeightedConcat
+    from unidepth_tpu.models.unidepthv2.model import UniDepthV2
+    from unidepth_tpu.parallel.mesh import (
+        initialize_distributed,
+        make_mesh,
+        fsdp_param_sharding,
+        replicated,
+    )
+    from unidepth_tpu.training.optim import build_optimizer
+    from unidepth_tpu.training.step import make_train_step
+    from unidepth_tpu.io.checkpoint import save_checkpoint, load_train_checkpoint
+
+    initialize_distributed()
+    config = json.loads(Path(args.config_file).read_text())
+    tr = config["training"]
+
+    mesh = make_mesh(fsdp=args.fsdp)
+    n_dev = len(jax.devices())
+    print(f"devices: {n_dev}, mesh: {dict(mesh.shape)}")
+
+    model = UniDepthV2.from_config(config)
+    sc = model.shape_constraints
+    mult = config["data"].get("augmentations", {}).get("shape_constraints", {}).get("shape_mult", 14)
+    raw_shape = config["data"].get("image_shape", (480, 640))
+    image_shape = tuple((s // mult) * mult for s in raw_shape)
+    params = model.init_params(seed=args.seed, image_shape=(126, 126))
+
+    opt = build_optimizer(
+        params,
+        lr=tr.get("lr", 1e-4),
+        lr_final=tr.get("lr_final", 1e-6),
+        encoder_lr=config["model"]["pixel_encoder"].get("lr", 2e-6),
+        wd=tr.get("wd", 0.1),
+        wd_final=tr.get("wd_final", 0.1),
+        warmup_iters=tr.get("warmup_iters", 75000),
+        total_iters=tr.get("n_iters", 300000),
+        ld=tr.get("ld", 1.0),
+        num_encoder_layers=model.encoder_cfg.depth,
+        clipping=tr.get("clipping", 1.0),
+        cycle_betas=tr.get("cycle_beta", tr.get("cycle_betas", True)),
+    )
+    init_state, train_step = make_train_step(model, opt, config)
+    state = init_state(params)
+    start_step = 0
+    if args.resume:
+        state, start_step = load_train_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at step {start_step}")
+
+    pspec = fsdp_param_sharding(mesh, state.params)
+    state = state._replace(
+        params=jax.device_put(state.params, pspec),
+        opt_state=jax.device_put(state.opt_state, replicated(mesh)),
+        ema=jax.device_put(state.ema, replicated(mesh)),
+    )
+    step_fn = jax.jit(train_step, donate_argnums=(0,))
+
+    # data
+    batch_size = tr.get("batch_size", 8)
+    accum = tr.get("nsteps_accumulation_gradient", 1)
+    local_bs = max(batch_size // jax.process_count(), n_dev)
+    aug = config["data"].get("augmentations", {})
+    if args.dummy_data:
+        datasets = [Dummy(image_shape=image_shape, length=1024)]
+    else:
+        datasets = [
+            make_dataset(
+                name,
+                data_root=args.data_root,
+                image_shape=image_shape,
+                augmentations=aug,
+            )
+            for name in config["data"]["train_datasets"]
+        ]
+    sampler = (
+        ShapeSampler(
+            {
+                "ratio_bounds": tuple(sc["ratio_bounds"]),
+                "pixels_min": sc["pixels_min"],
+                "pixels_max": sc["pixels_max"],
+                "shape_mult": sc.get("shape_mult", 14),
+            }
+        )
+        if aug.get("shape_constraints", {}).get("sample", False) and not args.dummy_data
+        else None
+    )
+    loader = Loader(
+        WeightedConcat(datasets, sampling=config["data"].get("sampling")),
+        batch_size=local_bs,
+        shape_sampler=sampler,
+        accum=accum,
+        num_threads=4,
+        seed=args.seed + jax.process_index(),
+    )
+    bshard = NamedSharding(mesh, P(None, ("data", "fsdp")))
+
+    n_iters = args.steps or tr.get("n_iters", 300000)
+    key = jax.random.key(args.seed)
+    t0 = time.time()
+    ema_losses = {}
+    for step, batch in zip(range(start_step, n_iters), loader):
+        batch = {k: jax.device_put(jnp.asarray(v), bshard) for k, v in batch.items()}
+        state, metrics = step_fn(state, batch, jax.random.fold_in(key, step))
+        if (step + 1) % 50 == 0 or step == start_step:
+            m = {k: float(v) for k, v in metrics.items()}
+            for k, v in m.items():
+                if np.isfinite(v):
+                    ema_losses[k] = 0.99 * ema_losses.get(k, v) + 0.01 * v
+            rate = (step + 1 - start_step) * batch_size * accum / (time.time() - t0)
+            print(
+                f"step {step + 1}: "
+                + " ".join(f"{k}={v:.4f}" for k, v in sorted(ema_losses.items()))
+                + f" | {rate:.1f} img/s"
+            )
+        if (step + 1) % tr.get("checkpoint_interval", 10000) == 0:
+            save_checkpoint(args.checkpoint_dir, state, step + 1)
+    loader.close()
+    save_checkpoint(args.checkpoint_dir, state, n_iters)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

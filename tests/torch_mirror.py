@@ -54,7 +54,7 @@ class MirrorAttnBlock(nn.Module):
             self.ls2 = nn.Module()
             self.ls2.gamma = nn.Parameter(layer_scale * torch.ones(dim))
 
-    def forward(self, x, context=None, pos_embed=None):
+    def forward(self, x, context=None, pos_embed=None, pos_embed_context=None):
         ctx = x if context is None else context
         y = self.norm_attnx(x)
         c = self.norm_attnctx(ctx)
@@ -64,6 +64,8 @@ class MirrorAttnBlock(nn.Module):
         v = _heads(v, self.num_heads)
         if pos_embed is not None:
             q = q + _heads(pos_embed, self.num_heads)
+        if pos_embed_context is not None:
+            k = k + _heads(pos_embed_context, self.num_heads)
         a = self.out(_unheads(F.scaled_dot_product_attention(q, k, v)))
         if self.has_ls:
             a = a * self.ls1.gamma
@@ -339,3 +341,232 @@ class MirrorUniDepthV2(nn.Module):
         out["points"] = pts
         out["depth"] = pts[:, -1:]
         return out
+
+
+# ---------------------------------------------------------------------------
+# V1 mirror
+# ---------------------------------------------------------------------------
+
+
+def torch_rsh_cart(xyz, degree=8):
+    """Real SH, same convention as torch-spherical-harmonics (CS phase)."""
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    one = torch.ones_like(x)
+    c = [one]
+    s = [torch.zeros_like(x)]
+    for m in range(1, degree + 1):
+        c.append(x * c[m - 1] - y * s[m - 1])
+        s.append(x * s[m - 1] + y * c[m - 1])
+    pt = {(0, 0): one}
+    for m in range(1, degree + 1):
+        dfact = 1.0
+        for i in range(1, 2 * m, 2):
+            dfact *= i
+        pt[(m, m)] = ((-1.0) ** m * dfact) * one
+    for m in range(0, degree):
+        pt[(m + 1, m)] = (2 * m + 1) * z * pt[(m, m)]
+    for m in range(0, degree + 1):
+        for l in range(m + 2, degree + 1):
+            pt[(l, m)] = ((2 * l - 1) * z * pt[(l - 1, m)] - (l - 1 + m) * pt[(l - 2, m)]) / (l - m)
+    out = []
+    for l in range(degree + 1):
+        row = {}
+        for m in range(0, l + 1):
+            k = math.sqrt((2 * l + 1) / (4 * math.pi) * math.factorial(l - m) / math.factorial(l + m))
+            if m == 0:
+                row[0] = k * pt[(l, 0)]
+            else:
+                kk = math.sqrt(2.0) * k
+                row[m] = kk * pt[(l, m)] * c[m]
+                row[-m] = kk * pt[(l, m)] * s[m]
+        for m in range(-l, l + 1):
+            out.append(row[m])
+    return torch.stack(out, dim=-1)
+
+
+class MirrorAdapterV1(nn.Module):
+    def __init__(self, in_dim, hidden):
+        super().__init__()
+        self.seq = nn.Sequential(nn.LayerNorm(in_dim), nn.Linear(in_dim, hidden), nn.GELU())
+
+    def forward(self, x):
+        return self.seq(x)
+
+
+class MirrorConvUpsample(nn.Module):
+    def __init__(self, dim, expansion=4, num_layers=2, kernel_size=7):
+        super().__init__()
+        self.convs = nn.ModuleList()
+        for _ in range(num_layers):
+            blk = nn.Module()
+            blk.dwconv = nn.Conv2d(dim, dim, kernel_size, padding=kernel_size // 2, groups=dim)
+            blk.norm = nn.LayerNorm(dim, eps=1e-6)
+            blk.pwconv1 = nn.Linear(dim, expansion * dim)
+            blk.pwconv2 = nn.Linear(expansion * dim, dim)
+            blk.gamma = nn.Parameter(torch.ones(dim))
+            self.convs.append(blk)
+        self.up = nn.ModuleList(
+            [nn.Conv2d(dim, dim // 2, 1), nn.Identity(), nn.Conv2d(dim // 2, dim // 2, 3, padding=1)]
+        )
+
+    def forward(self, x):
+        for blk in self.convs:
+            inp = x
+            y = blk.dwconv(x).permute(0, 2, 3, 1)
+            y = blk.norm(y)
+            y = blk.pwconv2(F.gelu(blk.pwconv1(y))) * blk.gamma
+            x = inp + y.permute(0, 3, 1, 2)
+        x = self.up[0](x)
+        x = F.interpolate(x, scale_factor=2, mode="bilinear", align_corners=True)
+        x = self.up[2](x)
+        b, ch, h, w = x.shape
+        return x.permute(0, 2, 3, 1).reshape(b, h * w, ch)
+
+
+class MirrorV1Decoder(nn.Module):
+    def __init__(self, input_dims, hidden_dim, num_heads=2, expansion=4, depths=(1, 1, 1)):
+        super().__init__()
+        hd = hidden_dim
+        self.hidden_dim = hd
+        self.depths = depths
+        self.input_adapter = nn.Module()
+        self.input_adapter.input_adapters = nn.ModuleList(
+            [MirrorAdapterV1(d, hd).seq for d in input_dims]
+        )
+        self.token_adapter = nn.Module()
+        self.token_adapter.input_adapters = nn.ModuleList(
+            [MirrorAdapterV1(d, hd).seq for d in input_dims[::-1]]
+        )
+        self.level_embeds = nn.Parameter(torch.randn(len(input_dims), hd))
+        self.level_embed_layer = nn.Sequential(
+            nn.Linear(hd, hd), nn.GELU(), nn.Linear(hd, hd), nn.LayerNorm(hd)
+        )
+        cam = nn.Module()
+        cam.latents_pos = nn.Parameter(torch.randn(1, 4, hd))
+        cam.cls_project = nn.Sequential(
+            nn.LayerNorm(hd), nn.Linear(hd, hd // 2), nn.GELU(), nn.Linear(hd // 2, hd)
+        )
+        cam.in_features = MirrorMLP(hd, 2)
+        cam.aggregate = MirrorAttnBlock(hd, 1, expansion, 1.0)
+        cam.layers = nn.ModuleList([MirrorAttnBlock(hd, num_heads, expansion, 1.0) for _ in range(2)])
+        cam.out = MirrorMLP(hd, 2, 1)
+        self.camera_layer = cam
+
+        d = nn.Module()
+        d.project_rays16 = MirrorMLP(81, expansion, hd)
+        d.project_rays8 = MirrorMLP(81, expansion, hd // 2)
+        d.project_rays4 = MirrorMLP(81, expansion, hd // 4)
+        d.to_latents = MirrorMLP(hd, 2)
+        d.features_channel_cat = nn.Linear(hd * len(input_dims), hd)
+        d.aggregate_16 = MirrorAttnBlock(hd, 1, expansion, 1.0)
+        d.prompt_camera = MirrorAttnBlock(hd, 1, expansion, 1.0)
+        d.layers_16 = nn.ModuleList([MirrorAttnBlock(hd, num_heads, expansion, 1.0) for _ in range(depths[0])])
+        d.layers_8 = nn.ModuleList([MirrorAttnBlock(hd // 2, num_heads // 2, expansion, 1.0) for _ in range(depths[1])])
+        d.layers_4 = nn.ModuleList([MirrorAttnBlock(hd // 4, max(1, num_heads // 4), expansion, 1.0) for _ in range(depths[2])])
+        d.up8 = MirrorConvUpsample(hd, expansion)
+        d.up4 = MirrorConvUpsample(hd // 2, expansion)
+        d.up2 = MirrorConvUpsample(hd // 4, expansion)
+        d.out8 = nn.Conv2d(hd // 2, 1, 3, padding=1)
+        d.out4 = nn.Conv2d(hd // 4, 1, 3, padding=1)
+        d.out2 = nn.Conv2d(hd // 8, 1, 3, padding=1)
+        self.depth_layer = d
+
+    @staticmethod
+    def _pos_sine(h, w, dim):
+        mask = torch.zeros(1, h, w, dtype=torch.bool)
+        y = (~mask).cumsum(1, dtype=torch.float32)
+        x = (~mask).cumsum(2, dtype=torch.float32)
+        eps = 1e-6
+        scale = 2 * math.pi
+        y = y / (y[:, -1:, :] + eps) * scale
+        x = x / (x[:, :, -1:] + eps) * scale
+        dim_t = torch.arange(dim // 2, dtype=torch.float32)
+        dim_t = 10000.0 ** (2 * torch.div(dim_t, 2, rounding_mode="floor") / (dim // 2))
+        px = x[..., None] / dim_t
+        py = y[..., None] / dim_t
+        px = torch.stack((px[..., 0::2].sin(), px[..., 1::2].cos()), dim=4).flatten(3)
+        py = torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()), dim=4).flatten(3)
+        return torch.cat((py, px), dim=3).reshape(1, h * w, dim)
+
+    def forward(self, feats, cls_tokens, image_shape, rays_gt=None):
+        H, W = image_shape
+        b, gh, gw, _ = feats[0].shape
+        feats = [
+            ad(f.reshape(b, gh * gw, -1))
+            for ad, f in zip(self.input_adapter.input_adapters, feats)
+        ]
+        cams = [ad(t) for ad, t in zip(self.token_adapter.input_adapters, cls_tokens[::-1])]
+        cls_cat = torch.cat(cams, dim=1)
+        le = self.level_embed_layer(self.level_embeds)
+        level_embed = torch.repeat_interleave(le, gh * gw, dim=0)[None].expand(b, -1, -1)
+        pos = self._pos_sine(gh, gw, le.shape[-1]).repeat(1, len(feats), 1).expand(b, -1, -1)
+
+        cl = self.camera_layer
+        cls_p = cl.cls_project(cls_cat)
+        stack = torch.cat(feats, dim=1) + (pos + level_embed)
+        stack = cl.in_features(stack)
+        ctx = torch.cat([stack, cls_p], dim=1)
+        lp = cl.latents_pos.expand(b, -1, -1)
+        t = cl.aggregate(cls_p, context=ctx, pos_embed=lp)
+        for blk in cl.layers:
+            t = blk(t, pos_embed=lp)
+        x = cl.out(t).squeeze(-1)
+        mx = max(image_shape) / 2
+        K = torch.zeros(b, 3, 3)
+        K[:, 0, 0] = x[:, 0].exp() * mx
+        K[:, 1, 1] = x[:, 1].exp() * mx
+        K[:, 0, 2] = x[:, 2].sigmoid() * W
+        K[:, 1, 2] = x[:, 3].sigmoid() * H
+        K[:, 2, 2] = 1.0
+
+        if rays_gt is None:
+            xs = torch.linspace(0.5, W - 0.5, W)
+            ys = torch.linspace(0.5, H - 0.5, H)
+            gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+            rx = (gx[None] - K[:, 0, 2, None, None]) / K[:, 0, 0, None, None]
+            ry = (gy[None] - K[:, 1, 2, None, None]) / K[:, 1, 1, None, None]
+            rays = torch.stack([rx, ry, torch.ones_like(rx)], dim=-1)
+            rays = rays / rays.norm(dim=-1, keepdim=True).clamp(min=1e-12)
+            rays = rays.reshape(b, H * W, 3)
+        else:
+            rays = rays_gt
+        rays = rays.detach()
+
+        d = self.depth_layer
+
+        def remb(new, proj):
+            r = rays.view(b, H, W, 3).permute(0, 3, 1, 2)
+            r = F.interpolate(r, size=new, mode="bilinear", align_corners=False, antialias=True)
+            r = r.permute(0, 2, 3, 1).reshape(b, -1, 3)
+            r = r / r.norm(dim=-1, keepdim=True).clamp(min=1e-12)
+            return proj(torch_rsh_cart(r, 8))
+
+        e16 = remb((gh, gw), d.project_rays16)
+        e8 = remb((gh * 2, gw * 2), d.project_rays8)
+        e4 = remb((gh * 4, gw * 4), d.project_rays4)
+
+        tokens = torch.cat(feats, dim=1)
+        tokens_pos = pos + level_embed
+        f16 = d.features_channel_cat(torch.cat(feats, dim=-1))
+        lat = d.to_latents(f16)
+        lat = d.aggregate_16(lat, context=tokens, pos_embed_context=tokens_pos)
+        lat = d.prompt_camera(lat, context=e16)
+        outs = []
+        shapes = (gh, gw)
+        for li, (layers, up, head, e, dim_i) in enumerate(
+            zip(
+                [d.layers_16, d.layers_8, d.layers_4],
+                [d.up8, d.up4, d.up2],
+                [d.out8, d.out4, d.out2],
+                [e16, e8, e4],
+                [None] * 3,
+            )
+        ):
+            for blk in layers:
+                lat = blk(lat, pos_embed=e)
+            grid = (lat + e).view(b, *shapes, -1).permute(0, 3, 1, 2)
+            lat = up(grid)
+            shapes = (shapes[0] * 2, shapes[1] * 2)
+            o = head(lat.view(b, *shapes, -1).permute(0, 3, 1, 2))
+            outs.append(o.clamp(-10, 10).exp())
+        return K, outs

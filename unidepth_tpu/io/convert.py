@@ -206,3 +206,150 @@ def convert_v2_state_dict(
         "encoder": convert_encoder(enc, output_idx),
         "decoder": convert_v2_decoder(dec, num_levels=num_levels),
     }
+
+
+# ---------------------------------------------------------------------------
+# V1 + ConvNeXt converters
+# ---------------------------------------------------------------------------
+
+
+def _v1_adapter(sd, prefix):
+    # torch Sequential(LayerNorm, Linear, GELU) (v1 decoder.py:21-36)
+    return {
+        "norm": _ln(sd, f"{prefix}.0"),
+        "linear": _dense(sd, f"{prefix}.1"),
+    }
+
+
+def convert_v1_decoder(sd: dict, num_resolutions: int = 4) -> dict:
+    """V1 Decoder weights -> DecoderV1 params (models/unidepthv1/decoder.py)."""
+    p = {}
+    for i in range(num_resolutions):
+        p[f"input_adapter_{i}"] = _v1_adapter(sd, f"input_adapter.input_adapters.{i}")
+        p[f"token_adapter_{i}"] = _v1_adapter(sd, f"token_adapter.input_adapters.{i}")
+    p["level_embeds"] = sd["level_embeds"]
+    p["le_fc1"] = _dense(sd, "level_embed_layer.0")
+    p["le_fc2"] = _dense(sd, "level_embed_layer.2")
+    p["le_norm"] = _ln(sd, "level_embed_layer.3")
+
+    cam = {
+        "latents_pos": sd["camera_layer.latents_pos"],
+        "cls_norm": _ln(sd, "camera_layer.cls_project.0"),
+        "cls_fc1": _dense(sd, "camera_layer.cls_project.1"),
+        "cls_fc2": _dense(sd, "camera_layer.cls_project.3"),
+        "in_features": _mlp(sd, "camera_layer.in_features"),
+        "aggregate": _attention_block(sd, "camera_layer.aggregate"),
+        "out": _mlp(sd, "camera_layer.out"),
+    }
+    i = 0
+    while f"camera_layer.layers.{i}.q.weight" in sd:
+        cam[f"layers_{i}"] = _attention_block(sd, f"camera_layer.layers.{i}")
+        i += 1
+    p["camera_layer"] = cam
+
+    d = {
+        "project_rays16": _mlp(sd, "depth_layer.project_rays16"),
+        "project_rays8": _mlp(sd, "depth_layer.project_rays8"),
+        "project_rays4": _mlp(sd, "depth_layer.project_rays4"),
+        "to_latents": _mlp(sd, "depth_layer.to_latents"),
+        "features_channel_cat": _dense(sd, "depth_layer.features_channel_cat"),
+        "aggregate_16": _attention_block(sd, "depth_layer.aggregate_16"),
+        "prompt_camera": _attention_block(sd, "depth_layer.prompt_camera"),
+    }
+    for scale in (16, 8, 4):
+        j = 0
+        while f"depth_layer.layers_{scale}.{j}.q.weight" in sd:
+            d[f"layers_{scale}_{j}"] = _attention_block(
+                sd, f"depth_layer.layers_{scale}.{j}"
+            )
+            j += 1
+    for scale in (8, 4, 2):
+        pre = f"depth_layer.up{scale}"
+        up = {}
+        j = 0
+        while f"{pre}.convs.{j}.dwconv.weight" in sd:
+            up[f"convs_{j}"] = {
+                "dwconv": {
+                    "conv": {
+                        "kernel": torch_conv(sd[f"{pre}.convs.{j}.dwconv.weight"]),
+                        "bias": sd[f"{pre}.convs.{j}.dwconv.bias"],
+                    }
+                },
+                "norm": _ln(sd, f"{pre}.convs.{j}.norm"),
+                "pwconv1": _dense(sd, f"{pre}.convs.{j}.pwconv1"),
+                "pwconv2": _dense(sd, f"{pre}.convs.{j}.pwconv2"),
+                "gamma": sd[f"{pre}.convs.{j}.gamma"],
+            }
+            j += 1
+        up["up_conv1"] = _conv(sd, f"{pre}.up.0")
+        up["up_conv2"] = _conv(sd, f"{pre}.up.2")
+        d[f"up{scale}"] = up
+        d[f"out{scale}"] = _conv(sd, f"depth_layer.out{scale}")
+    p["depth_layer"] = d
+    return p
+
+
+def convert_convnext(sd: dict, depths=(3, 3, 27, 3)) -> dict:
+    """timm-style ConvNeXt weights -> ConvNeXt params
+    (reference backbones/convnext.py naming: stem.0/1, stages.{s}.downsample,
+    stages.{s}.blocks.{j}.{conv_dw,norm,mlp.fc1,mlp.fc2,gamma})."""
+    p = {
+        "stem_conv": {
+            "kernel": torch_conv(sd["stem.0.weight"]),
+            "bias": sd["stem.0.bias"],
+        },
+        "stem_norm": _ln(sd, "stem.1"),
+    }
+
+    def block(s, j):
+        pre = f"stages.{s}.blocks.{j}"
+        dw_key = f"{pre}.conv_dw.weight" if f"{pre}.conv_dw.weight" in sd else f"{pre}.dwconv.weight"
+        dw_bias = dw_key.replace("weight", "bias")
+        mlp1 = f"{pre}.mlp.fc1" if f"{pre}.mlp.fc1.weight" in sd else f"{pre}.pwconv1"
+        mlp2 = f"{pre}.mlp.fc2" if f"{pre}.mlp.fc2.weight" in sd else f"{pre}.pwconv2"
+        out = {
+            "dwconv": {
+                "conv": {
+                    "kernel": torch_conv(sd[dw_key]),
+                    "bias": sd[dw_bias],
+                }
+            },
+            "norm": _ln(sd, f"{pre}.norm"),
+            "pwconv1": _dense(sd, mlp1),
+            "pwconv2": _dense(sd, mlp2),
+        }
+        if f"{pre}.gamma" in sd:
+            out["gamma"] = sd[f"{pre}.gamma"].reshape(-1)
+        if f"{pre}.grn.weight" in sd:
+            out["grn_gamma"] = sd[f"{pre}.grn.weight"].reshape(-1)
+            out["grn_beta"] = sd[f"{pre}.grn.bias"].reshape(-1)
+        return out
+
+    for s, depth in enumerate(depths):
+        if s > 0:
+            p[f"down_norm_{s}"] = _ln(sd, f"stages.{s}.downsample.0")
+            p[f"down_conv_{s}"] = {
+                "kernel": torch_conv(sd[f"stages.{s}.downsample.1.weight"]),
+                "bias": sd[f"stages.{s}.downsample.1.bias"],
+            }
+        p[f"stage_{s}"] = _stack([block(s, j) for j in range(depth)])
+    return p
+
+
+def convert_v1_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    output_idx: tuple[int, ...] = (5, 12, 18, 24),
+    backbone: str = "dinov2",
+) -> dict:
+    """Full UniDepthV1 torch state dict -> {'encoder', 'decoder'} pytree."""
+    sd = {
+        re.sub(r"^module\.", "", k): np.asarray(v, dtype=np.float32)
+        for k, v in state_dict.items()
+    }
+    enc = {k[len("pixel_encoder."):]: v for k, v in sd.items() if k.startswith("pixel_encoder.")}
+    dec = {k[len("pixel_decoder."):]: v for k, v in sd.items() if k.startswith("pixel_decoder.")}
+    if backbone == "dinov2":
+        encoder = convert_encoder(enc, output_idx)
+    else:
+        encoder = convert_convnext(enc)
+    return {"encoder": encoder, "decoder": convert_v1_decoder(dec)}

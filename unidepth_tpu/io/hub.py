@@ -91,7 +91,22 @@ def load_checkpoint(name_or_path: str, version: int = 2):
         config = _default_config(version, backbone)
 
     sd = _read_state_dict(ckpt_file)
-    output_idx = tuple(config["model"]["pixel_encoder"].get("output_idx", (6, 12, 18, 24)))
-    num_levels = len(config["model"]["pixel_decoder"].get("depths", (2, 2, 2)))
-    params = convert_v2_state_dict(sd, output_idx=output_idx, num_levels=num_levels)
+    enc_name = config["model"]["pixel_encoder"]["name"]
+    if version == 2:
+        output_idx = tuple(
+            config["model"]["pixel_encoder"].get("output_idx", (6, 12, 18, 24))
+        )
+        num_levels = len(config["model"]["pixel_decoder"].get("depths", (2, 2, 2)))
+        params = convert_v2_state_dict(sd, output_idx=output_idx, num_levels=num_levels)
+    else:
+        from unidepth_tpu.io.convert import convert_v1_state_dict
+
+        output_idx = tuple(
+            config["model"]["pixel_encoder"].get("output_idx", (5, 12, 18, 24))
+        )
+        params = convert_v1_state_dict(
+            sd,
+            output_idx=output_idx,
+            backbone="convnext" if "convnext" in enc_name else "dinov2",
+        )
     return config, params

@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -68,6 +69,7 @@ class ViTBlock(nn.Module):
     init_values: float = 1.0
     ffn_layer: str = "mlp"
     collect: bool = False  # emit the block output as a scan ys
+    attn_impl: str = "auto"  # 'auto' | 'flash' | 'xla'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -82,7 +84,20 @@ class ViTBlock(nn.Module):
         q = qkv[:, :, 0].transpose(0, 2, 1, 3)
         k = qkv[:, :, 1].transpose(0, 2, 1, 3)
         v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-        attn = sdpa(q, k, v)
+        use_flash = self.attn_impl == "flash" or (
+            self.attn_impl == "auto"
+            and n >= 1024
+            and jax.default_backend() not in ("cpu",)
+        )
+        if use_flash:
+            from unidepth_tpu.ops.flash_attention import flash_attention
+
+            d = c // h
+            attn = flash_attention(
+                q.reshape(b * h, n, d), k.reshape(b * h, n, d), v.reshape(b * h, n, d)
+            ).reshape(b, h, n, d)
+        else:
+            attn = sdpa(q, k, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, n, c)
         attn = nn.Dense(c, dtype=self.dtype, name="proj")(attn)
         if self.init_values:
@@ -129,6 +144,7 @@ class DinoViT(nn.Module):
 
     cfg: ViTConfig
     stacking: str = "last"
+    attn_impl: str = "auto"  # 'auto' | 'flash' | 'xla'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -219,6 +235,7 @@ class DinoViT(nn.Module):
                 init_values=cfg.init_values,
                 ffn_layer=cfg.ffn_layer,
                 collect=collect_ys,
+                attn_impl=self.attn_impl,
                 dtype=self.dtype,
                 name=f"stage_{si}",
             )(x, None)

@@ -161,7 +161,7 @@ class DepthHeadV1(nn.Module):
         outs = []
         embs = [emb16, emb8, emb4]
         dims = [hd, hd // 2, hd // 4]
-        heads = [self.num_heads, self.num_heads // 2, self.num_heads // 4]
+        heads = [max(1, self.num_heads >> li) for li in range(3)]
         cur_shape = (h16, w16)
         depth_features = None
         for li, depth in enumerate(self.depths):
@@ -184,10 +184,10 @@ class DepthHeadV1(nn.Module):
             grid = (latents + emb).reshape(b, *cur_shape, dims[li])
             latents = ConvUpsample(
                 dims[li], expansion=self.expansion, layer_scale=self.layer_scale,
-                dtype=self.dtype, name=f"up{16 >> li}",
+                dtype=self.dtype, name=f"up{8 >> li}",
             )(grid)
             cur_shape = (cur_shape[0] * 2, cur_shape[1] * 2)
-            out = Conv2d(1, kernel_size=3, dtype=self.dtype, name=f"out{16 >> li}")(
+            out = Conv2d(1, kernel_size=3, dtype=self.dtype, name=f"out{8 >> li}")(
                 latents.reshape(b, *cur_shape, dims[li] // 2)
             )
             outs.append(jnp.exp(jnp.clip(out.astype(jnp.float32), -10.0, 10.0)))

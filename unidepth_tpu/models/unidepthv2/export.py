@@ -1,0 +1,72 @@
+"""Serialized model export (the reference's ONNX exporter analogue,
+unidepth/models/unidepthv2/export.py).
+
+The reference exports a pre/post-processing-free forward to ONNX opset 14;
+the TPU-native equivalent serializes the same stripped forward with
+``jax.export`` (StableHLO) — loadable from any JAX process or compiled
+ahead-of-time, with an optional GT-rays input mirroring
+``UniDepthV2ONNXcam``.
+
+Usage:
+  python -m unidepth_tpu.models.unidepthv2.export --config-file \
+      configs/config_v2_vitl14.json --shape 462 616 --output model.stablehlo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def export_forward(model, params, shape: tuple[int, int], with_camera: bool = False, batch: int = 1):
+    """Returns a serialized StableHLO bytes blob of the stripped forward:
+    (image [, rays]) -> (points, confidence, intrinsics)."""
+    from jax import export as jax_export
+
+    h, w = shape
+
+    def fwd(params, image, rays=None):
+        out = model.encode_decode(params, image, rays_gt=rays)
+        return out["points"], out["confidence"], out["intrinsics"]
+
+    img_spec = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
+    if with_camera:
+        rays_spec = jax.ShapeDtypeStruct((batch, h * w, 3), jnp.float32)
+        exported = jax_export.export(jax.jit(fwd))(params, img_spec, rays_spec)
+    else:
+        exported = jax_export.export(jax.jit(lambda p, x: fwd(p, x)))(params, img_spec)
+    return exported.serialize()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config-file", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--shape", type=int, nargs=2, default=(462, 616))
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--with-camera", action="store_true")
+    ap.add_argument("--output", default="unidepthv2.stablehlo")
+    args = ap.parse_args()
+
+    from unidepth_tpu.models.unidepthv2.model import UniDepthV2
+
+    config = json.loads(Path(args.config_file).read_text())
+    if args.checkpoint:
+        model = UniDepthV2.from_pretrained(args.checkpoint)
+    else:
+        model = UniDepthV2.from_config(config)
+        model.init_params(seed=0, image_shape=(126, 126))
+    h, w = args.shape
+    h, w = (h // 14) * 14, (w // 14) * 14
+    blob = export_forward(model, model.params, (h, w), args.with_camera, args.batch)
+    Path(args.output).write_bytes(blob)
+    print(f"exported ({len(blob) / 1e6:.1f} MB) -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

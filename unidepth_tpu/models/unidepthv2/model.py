@@ -90,6 +90,7 @@ class UniDepthV2:
         shape_constraints: dict | None = None,
         dtype: Any = None,
         params=None,
+        attn_impl: str | None = None,
     ):
         if dtype is None:
             dtype = (
@@ -97,9 +98,13 @@ class UniDepthV2:
                 if jax.default_backend() not in ("cpu",)
                 else jnp.float32
             )
+        if attn_impl is None:
+            import os
+
+            attn_impl = os.environ.get("UNIDEPTH_ATTN_IMPL", "auto")
         self.dtype = dtype
         self.encoder_cfg = encoder_cfg
-        self.encoder = DinoViT(cfg=encoder_cfg, dtype=dtype)
+        self.encoder = DinoViT(cfg=encoder_cfg, attn_impl=attn_impl, dtype=dtype)
         self.decoder = Decoder(
             input_dims=(encoder_cfg.embed_dim,) * 4,
             hidden_dim=hidden_dim,

@@ -1,0 +1,126 @@
+"""Blockwise (flash) attention Pallas kernel for TPU.
+
+Covers the reference's xformers memory-efficient attention
+(metadinov2/attention.py:65-82) and SDPA blocks: online-softmax over key
+blocks with fp32 running statistics, bf16 MXU matmuls, no N^2
+materialization. Forward runs as a Pallas kernel; the backward pass
+recomputes attention with XLA ops (UniDepth trains at moderate sequence
+lengths where XLA's fused backward is already near-roofline, so the
+custom kernel is reserved for the serving-critical forward).
+
+Layout: q, k, v are (BH, N, D) — batch*heads flattened into the grid's
+first axis; D <= 128 (ViT head dims are 64).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention"]
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, blk_k: int, n_real: int, scale: float):
+    q = q_ref[0]  # (blk_q, d)
+    n_pad = k_ref.shape[1]
+    blk_q, d = q.shape
+    num_kb = n_pad // blk_k
+
+    def body(i, carry):
+        acc, m_i, l_i = carry
+        k_blk = k_ref[0, pl.ds(i * blk_k, blk_k), :]
+        v_blk = v_ref[0, pl.ds(i * blk_k, blk_k), :]
+        s = (
+            jax.lax.dot_general(
+                q,
+                k_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        # mask padded keys
+        col = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1) + i * blk_k
+        s = jnp.where(col < n_real, s, _NEG_INF)
+
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v_blk.dtype),
+            v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((blk_q, d), jnp.float32)
+    m0 = jnp.full((blk_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((blk_q, 1), jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_fwd(q, k, v, *, blk_q: int, blk_k: int, scale: float):
+    bh, n, d = q.shape
+    n_pad_q = -(-n // blk_q) * blk_q
+    n_pad_k = -(-n // blk_k) * blk_k
+    qp = jnp.pad(q, ((0, 0), (0, n_pad_q - n), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, n_pad_k - n), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, n_pad_k - n), (0, 0)))
+
+    grid = (bh, n_pad_q // blk_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, blk_k=blk_k, n_real=n, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad_k, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad_k, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, blk_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad_q, d), q.dtype),
+    )(qp, kp, vp)
+    return out[:, :n]
+
+
+def _xla_attention(q, k, v, scale):
+    logits = jnp.einsum("bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits * scale, axis=-1)
+    return jnp.einsum(
+        "bnm,bmd->bnd", w.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention(q, k, v, blk_q: int = 256, blk_k: int = 512, scale: float | None = None):
+    """q, k, v: (BH, N, D) -> (BH, N, D). fp32 softmax, bf16-friendly."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_fwd(q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale)
+
+
+def _fwd(q, k, v, blk_q, blk_k, scale):
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_fwd(q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale), (q, k, v)
+
+
+def _bwd(blk_q, blk_k, scale, res, g):
+    q, k, v = res
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)
