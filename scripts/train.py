@@ -29,9 +29,18 @@ def main():
     ap.add_argument("--checkpoint-dir", default="checkpoints")
     ap.add_argument("--resume", default=None)
     ap.add_argument("--seed", type=int, default=13)
+    ap.add_argument(
+        "--platform",
+        default=None,
+        help="force a jax platform (e.g. 'cpu'); needed because this "
+        "container pre-imports jax with JAX_PLATFORMS=axon",
+    )
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -1,0 +1,112 @@
+"""Sequence datasets over HDF5 shards.
+
+Reference parity: unidepth/datasets/sequence_dataset.py — a sequences JSON
+inside the HDF5 maps sequence name -> per-frame field dict (image/depth
+blob paths, inline K / cam2w); frames are sampled with fps resampling
+(default 5 fps, random fps in ``fps_range`` at train time). Emits the same
+per-frame sample dicts the pipeline transforms consume; multi-frame items
+stack along a leading frame axis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+from unidepth_tpu.datasets.base import HDF5Dataset, decode_depth, decode_rgb
+from unidepth_tpu.datasets.specs import SPECS, DatasetSpec
+
+
+class SequenceHDF5Dataset(HDF5Dataset):
+    default_fps = 5
+    sequences_file = "sequences.json"
+
+    def __init__(self, *args, num_frames: int = 1, fps_range=None, **kwargs):
+        self.num_frames = num_frames
+        self.fps_range = fps_range
+        super().__init__(*args, **kwargs)
+
+    def _load_split(self) -> list:
+        with self._h5(0) as f:
+            raw = np.array(f[self.split_file]).tobytes().decode("ascii").strip()
+            try:
+                seq_raw = np.array(f[self.sequences_file]).tobytes().decode("ascii")
+                self.sequences = json.loads(seq_raw)
+            except KeyError:
+                self.sequences = {}
+        samples = []
+        for line in raw.split("\n"):
+            parts = line.strip().split(" ")
+            if len(parts) < 2:
+                continue
+            samples.append((parts[0], int(parts[1])))
+        return samples
+
+    def _frame_indices(self, n: int, rng: np.random.Generator) -> list[int]:
+        """fps-resampled frame window (reference sequence_dataset.py:113-150)."""
+        if self.num_frames == 1:
+            return [int(rng.integers(0, n))]
+        if self.num_frames > n:
+            raise IndexError("sequence too short")
+        if self.fps_range is None:
+            stride = 1.0
+        else:
+            min_fps, max_fps = self.fps_range
+            max_fps = min(max_fps, self.default_fps)
+            min_fps = max(min_fps, self.num_frames / n * self.default_fps)
+            fps = float(rng.uniform(min_fps, max_fps)) if not self.test_mode else max_fps
+            stride = self.default_fps / fps
+        span = int(stride * (self.num_frames - 1))
+        start = int(rng.integers(0, max(1, n - span)))
+        return [min(n - 1, start + int(round(stride * i))) for i in range(self.num_frames)]
+
+    def _read_frame(self, seq_name: str, frame: dict, chunk: int = 0) -> dict:
+        with self._h5(chunk) as f:
+            image = decode_rgb(np.array(f["/" + frame["image"]]).tobytes())
+            depth = None
+            if "depth" in frame:
+                depth = decode_depth(
+                    np.array(f["/" + frame["depth"]]).tobytes(), self.spec.depth_scale
+                )
+        K = np.asarray(frame["K"], np.float32) if "K" in frame else self._default_K()
+        if K.shape == (4, 4):
+            K = K[:3, :3]
+        out = {
+            "image": image,
+            "K": K,
+            "validity": np.ones(image.shape[:2], bool),
+            "flip": False,
+            "si": False,
+            "dataset": self.spec.name,
+        }
+        if depth is not None:
+            out["depth"] = depth
+        if "cam2w" in frame:
+            out["cam2w"] = np.asarray(frame["cam2w"], np.float32)
+        return out
+
+    def get_single_item(self, idx: int, rng: np.random.Generator) -> dict | list[dict]:
+        seq_name, n = self.samples[idx]
+        frames_meta = self.sequences.get(seq_name)
+        if frames_meta is None:
+            raise IndexError(f"no sequence metadata for {seq_name}")
+        idxs = self._frame_indices(n, rng)
+        out = []
+        for fi in idxs:
+            meta = frames_meta[str(fi)] if isinstance(frames_meta, dict) else frames_meta[fi]
+            s = self._read_frame(seq_name, meta)
+            s = self.resizer(s, rng)
+            if "depth" in s and np.count_nonzero(s["depth"] > 0) < 50:
+                raise IndexError("too few valid depth points")
+            if self.augmenter is not None:
+                s = self.augmenter(s, rng)
+            s = self.masker(s, rng)
+            out.append(s)
+        return out[0] if self.num_frames == 1 else out
+
+
+def make_sequence_dataset(name: str, **kwargs) -> SequenceHDF5Dataset:
+    return SequenceHDF5Dataset(SPECS[name], **kwargs)

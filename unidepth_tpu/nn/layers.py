@@ -51,6 +51,7 @@ class MLP(nn.Module):
     expansion: int = 4
     output_dim: Optional[int] = None
     gated: bool = False
+    gate_fn: str = "swiglu"  # 'swiglu' | 'geglu'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -64,8 +65,11 @@ class MLP(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Dense(hidden * (2 if self.gated else 1), dtype=self.dtype, name="proj1")(x)
         if self.gated:
+            # SwiGLU by default; GEGLU via gate_fn
+            # (reference layers/activation.py:6-16)
             a, b = jnp.split(x, 2, axis=-1)
-            x = a * nn.silu(b)
+            gate = nn.silu(b) if self.gate_fn == "swiglu" else nn.gelu(b, approximate=False)
+            x = a * gate
         else:
             x = nn.gelu(x, approximate=False)
         x = nn.Dense(out_dim, dtype=self.dtype, name="proj2")(x)

@@ -155,3 +155,53 @@ class ConvUpsample(nn.Module):
         x = resize(x, (2 * h, 2 * w), mode="bilinear", align_corners=True)
         x = Conv2d(self.hidden_dim // 2, kernel_size=3, dtype=self.dtype, name="up_conv2")(x)
         return x.reshape(b, 4 * h * w, -1)
+
+
+class ConvUpsampleShuffleResidual(nn.Module):
+    """PixelShuffle upsampler with depthwise smoothing and a bilinear
+    residual (reference layers/upsample.py:82-134). NHWC."""
+
+    hidden_dim: int
+    num_layers: int = 2
+    expansion: int = 4
+    layer_scale: float = 1.0
+    kernel_size: int = 7
+    padding_mode: str = "zeros"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            x = CvnxtBlock(
+                self.hidden_dim,
+                kernel_size=self.kernel_size,
+                expansion=self.expansion,
+                layer_scale=self.layer_scale,
+                padding_mode=self.padding_mode,
+                dtype=self.dtype,
+                name=f"convs_{i}",
+            )(x)
+        b, h, w, c = x.shape
+        # pixel shuffle r=2 (torch channel order c*r*r + i*r + j)
+        ps = x.reshape(b, h, w, c // 4, 2, 2)
+        ps = ps.transpose(0, 1, 4, 2, 5, 3).reshape(b, 2 * h, 2 * w, c // 4)
+        y = Conv2d(
+            c // 4,
+            kernel_size=7,
+            feature_group_count=c // 4,
+            padding_mode=self.padding_mode,
+            dtype=self.dtype,
+            name="up_dw",
+        )(ps)
+        y = nn.relu(y)
+        y = Conv2d(
+            c // 2,
+            kernel_size=3,
+            padding_mode=self.padding_mode,
+            dtype=self.dtype,
+            name="up_pw",
+        )(y)
+        res = Conv2d(c // 2, kernel_size=1, padding=0, dtype=self.dtype, name="residual_proj")(x)
+        res = resize(res, (2 * h, 2 * w), mode="bilinear", align_corners=True)
+        out = y + res
+        return out.reshape(b, 4 * h * w, c // 2)

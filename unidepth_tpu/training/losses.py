@@ -556,3 +556,30 @@ def build_losses(config: dict) -> dict:
     for slot, cfg in config["training"]["losses"].items():
         out[slot] = LOSS_REGISTRY[cfg["name"]].build(cfg)
     return out
+
+
+@dataclass(frozen=True)
+class TeacherDistill:
+    """Per-head-dim feature + token distillation against a teacher
+    (reference losses/distill.py:141-221; not wired into shipped configs)."""
+
+    weight: float
+    output_fn: str = "sqrt"
+    eps: float = 1e-5
+    name: str = "TeacherDistill"
+
+    def __call__(self, student_feats, teacher_feats, mask=None, **kw):
+        err = jnp.square(
+            student_feats.astype(jnp.float32)
+            - jax.lax.stop_gradient(teacher_feats.astype(jnp.float32))
+        ).mean(axis=-1)
+        axes = tuple(range(1, err.ndim))
+        out = masked_mean(err, mask, axis=axes, keepdims=False)
+        return FNS[self.output_fn](out + self.eps)
+
+    @classmethod
+    def build(cls, cfg):
+        return cls(weight=cfg["weight"], output_fn=cfg.get("output_fn", "sqrt"))
+
+
+LOSS_REGISTRY["TeacherDistill"] = TeacherDistill
