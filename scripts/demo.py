@@ -24,6 +24,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--version", type=int, default=2)
+    ap.add_argument("--config", default=None, help="config JSON (random-weight mode)")
+    ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     ap.add_argument("--rgb", default="assets/demo/rgb.png")
     ap.add_argument("--depth", default="assets/demo/depth.png")
     ap.add_argument("--intrinsics", default="assets/demo/intrinsics.npy")
@@ -31,6 +33,11 @@ def main():
     args = ap.parse_args()
 
     from PIL import Image
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from unidepth_tpu.models import UniDepthV1, UniDepthV2
     from unidepth_tpu.utils.visualization import colorize, image_grid
@@ -42,14 +49,26 @@ def main():
         import json
 
         print("!! no checkpoint: random weights, ARel will be meaningless !!")
-        name = "configs/config_v2_vitl14.json" if args.version == 2 else "configs/config_v1_vitl14.json"
+        name = args.config or (
+            "configs/config_v2_vitl14.json" if args.version == 2 else "configs/config_v1_vitl14.json"
+        )
         model = cls.from_config(json.loads(Path(name).read_text()))
         if args.version == 2:
             model.init_params(seed=0, image_shape=(126, 126))
         else:
             model.init_params(seed=0)
 
-    rgb_path = Path(args.rgb)
+    def _resolve(p):
+        # fall back to the reference demo assets if not present locally
+        cand = Path(p)
+        if cand.exists():
+            return cand
+        alt = Path("/root/reference") / p
+        return alt if alt.exists() else cand
+
+    rgb_path = _resolve(args.rgb)
+    args.depth = str(_resolve(args.depth))
+    args.intrinsics = str(_resolve(args.intrinsics))
     if rgb_path.exists():
         rgb = np.asarray(Image.open(rgb_path).convert("RGB"))
     else:

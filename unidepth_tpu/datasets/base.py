@@ -165,9 +165,11 @@ class HDF5Dataset:
             "dataset": self.spec.name,
         }
 
-    def get_single_item(self, idx: int, rng: np.random.Generator) -> dict:
+    def get_single_item(
+        self, idx: int, rng: np.random.Generator, image_shape=None
+    ) -> dict:
         sample = self._read(idx)
-        sample = self.resizer(sample, rng)
+        sample = self.resizer(sample, rng, image_shape=image_shape)
         if np.count_nonzero(sample["depth"] > 0) < 50:
             raise IndexError("too few valid depth points")
         if self.augmenter is not None:

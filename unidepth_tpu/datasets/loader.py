@@ -143,9 +143,10 @@ class Loader:
             samples = []
             for _ in range(self.batch_size):
                 ds, idx = self.dataset.sample(rng)
-                if shape is not None and hasattr(ds, "resizer"):
-                    ds.resizer.image_shape = shape
-                s = ds.get_single_item(idx, rng) if hasattr(ds, "get_single_item") else ds[idx]
+                if hasattr(ds, "get_single_item"):
+                    s = ds.get_single_item(idx, rng, image_shape=shape)
+                else:
+                    s = ds[idx]
                 samples.append(s)
             micro.append(collate(samples))
         if self.accum == 1:

@@ -64,9 +64,11 @@ class ContextCrop:
     keep_original: bool = False
     test_mode: bool = False
 
-    def __call__(self, sample, rng: np.random.Generator):
+    def __call__(self, sample, rng: np.random.Generator, image_shape=None):
         h, w = sample["image"].shape[:2]
-        th, tw = self.image_shape
+        # per-call shape override: the loader samples a global shape per
+        # batch and worker threads must not mutate shared state
+        th, tw = image_shape if image_shape is not None else self.image_shape
         target_ratio = tw / th
         # largest crop with the target aspect ratio that fits the source
         crop_w = min(w, int(round(h * target_ratio)))

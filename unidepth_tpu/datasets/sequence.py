@@ -88,7 +88,9 @@ class SequenceHDF5Dataset(HDF5Dataset):
             out["cam2w"] = np.asarray(frame["cam2w"], np.float32)
         return out
 
-    def get_single_item(self, idx: int, rng: np.random.Generator) -> dict | list[dict]:
+    def get_single_item(
+        self, idx: int, rng: np.random.Generator, image_shape=None
+    ) -> dict | list[dict]:
         seq_name, n = self.samples[idx]
         frames_meta = self.sequences.get(seq_name)
         if frames_meta is None:
@@ -98,7 +100,7 @@ class SequenceHDF5Dataset(HDF5Dataset):
         for fi in idxs:
             meta = frames_meta[str(fi)] if isinstance(frames_meta, dict) else frames_meta[fi]
             s = self._read_frame(seq_name, meta)
-            s = self.resizer(s, rng)
+            s = self.resizer(s, rng, image_shape=image_shape)
             if "depth" in s and np.count_nonzero(s["depth"] > 0) < 50:
                 raise IndexError("too few valid depth points")
             if self.augmenter is not None:

@@ -120,6 +120,23 @@ class UniDepthV2:
         self.resolution_level: int | None = None
         self.interpolation_mode = "bilinear"
         self._jit_cache: dict = {}
+        self._infer_params = None  # compute-dtype cast cache for serving
+
+    def _serving_params(self):
+        """Pre-cast fp32 master params to the compute dtype ONCE: halves the
+        per-block weight DMA traffic inside the scanned ViT and removes the
+        per-use cast kernels (measurable on the 518px bench)."""
+        if self.dtype == jnp.float32:
+            return self.params
+        if self._infer_params is None or self._infer_params[0] is not self.params:
+            cast = jax.tree.map(
+                lambda x: x.astype(self.dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                self.params,
+            )
+            self._infer_params = (self.params, cast)
+        return self._infer_params[1]
 
     # ------------------------------------------------------------------
     # construction
@@ -322,7 +339,7 @@ class UniDepthV2:
             normalize,
         )
         fn = self._infer_fn(key)
-        return fn(self.params, rgb, camera)
+        return fn(self._serving_params(), rgb, camera)
 
     # ------------------------------------------------------------------
     def encode_decode(self, params, image, rays_gt=None):

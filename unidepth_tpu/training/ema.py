@@ -19,8 +19,10 @@ class EMAState(NamedTuple):
 
 
 def ema_init(params) -> EMAState:
+    # materialize copies: the shadow must not alias the live params, or
+    # donating a train state would donate the same buffer twice
     return EMAState(
-        shadow=jax.tree.map(jnp.asarray, params),
+        shadow=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
         num_updates=jnp.zeros((), jnp.int32),
     )
 

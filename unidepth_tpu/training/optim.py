@@ -27,22 +27,9 @@ def _path_str(path) -> str:
 def lr_scale_tree(params, encoder_lr_scale: float, ld: float, num_layers: int):
     """Per-leaf lr multipliers: decoder leaves 1.0; encoder leaves
     ``encoder_lr_scale * ld^(num_layers - layer_id)`` (reference
-    dinov2.py:47-105; embeddings/patch count as layer 0)."""
-
-    def scale(path, x):
-        p = _path_str(path)
-        if not p.startswith("encoder"):
-            return 1.0
-        s = encoder_lr_scale
-        if ld != 1.0:
-            if "stage_" in p:
-                # scanned segments: per-block ld varies along the stacked
-                # axis; approximate with the segment's mean layer id. Exact
-                # per-block scaling would need the scale baked into the leaf:
-                # done below by returning an array matching the leading axis.
-                return None  # handled by caller via array scales
-            s = s * (ld**num_layers)
-        return s
+    dinov2.py:47-105; embeddings/patch count as layer 0). For scanned block
+    segments the scale is a per-block array broadcast along the stacked
+    leading axis, so layer decay stays exact under nn.scan."""
 
     # Fast path (shipped configs use ld == 1.0): scalar per leaf.
     if ld == 1.0:
