@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--resume", default=None)
     ap.add_argument("--seed", type=int, default=13)
     ap.add_argument(
+        "--image-shape",
+        type=int,
+        nargs=2,
+        default=None,
+        help="override the training image shape (e.g. smoke tests)",
+    )
+    ap.add_argument(
         "--platform",
         default=None,
         help="force a jax platform (e.g. 'cpu'); needed because this "
@@ -72,7 +79,7 @@ def main():
     model = UniDepthV2.from_config(config)
     sc = model.shape_constraints
     mult = config["data"].get("augmentations", {}).get("shape_constraints", {}).get("shape_mult", 14)
-    raw_shape = config["data"].get("image_shape", (480, 640))
+    raw_shape = args.image_shape or config["data"].get("image_shape", (480, 640))
     image_shape = tuple((s // mult) * mult for s in raw_shape)
     params = model.init_params(seed=args.seed, image_shape=(126, 126))
 

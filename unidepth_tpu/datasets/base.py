@@ -34,14 +34,15 @@ from unidepth_tpu.datasets.specs import INTRINSICS_TABLES, SPECS, DatasetSpec
 
 def decode_depth(blob: bytes, depth_scale: float) -> np.ndarray:
     """PNG blob -> metric depth (H, W) float32. 3-channel images carry
-    24-bit packed depth (reference image_dataset.py:112-121)."""
+    24-bit packed depth (reference image_dataset.py:112-121). The unpack +
+    scale runs in the native single-pass kernel when available."""
+    from unidepth_tpu import native
+
     img = np.asarray(Image.open(io.BytesIO(blob)))
     if img.ndim == 3:
-        img = (
-            img[..., 2].astype(np.float64)
-            + img[..., 1].astype(np.float64) * 255.0
-            + img[..., 0].astype(np.float64) * 255.0 * 255.0
-        )
+        return native.unpack24_scale(img, depth_scale)
+    if img.dtype == np.uint16:
+        return native.scale_u16(img, depth_scale)
     return (img.astype(np.float64) / depth_scale).astype(np.float32)
 
 

@@ -101,17 +101,30 @@ def _xla_attention(q, k, v, scale):
     ).astype(v.dtype)
 
 
+def _pick_blocks(n: int, blk_q: int | None, blk_k: int | None):
+    """Measured on v5e (d=64): large q blocks and whole-K blocks win for
+    UniDepth's 1.4-3k token range (single-pass online softmax)."""
+    if blk_q is None:
+        blk_q = 512
+    if blk_k is None:
+        n_pad = -(-n // 512) * 512
+        blk_k = n_pad if n_pad <= 4096 else 1024
+    return blk_q, blk_k
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def flash_attention(q, k, v, blk_q: int = 256, blk_k: int = 512, scale: float | None = None):
+def flash_attention(q, k, v, blk_q: int | None = None, blk_k: int | None = None, scale: float | None = None):
     """q, k, v: (BH, N, D) -> (BH, N, D). fp32 softmax, bf16-friendly."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    blk_q, blk_k = _pick_blocks(q.shape[1], blk_q, blk_k)
     return _flash_fwd(q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale)
 
 
 def _fwd(q, k, v, blk_q, blk_k, scale):
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    blk_q, blk_k = _pick_blocks(q.shape[1], blk_q, blk_k)
     return _flash_fwd(q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale), (q, k, v)
 
 
