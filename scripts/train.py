@@ -151,22 +151,26 @@ def main():
     )
     bshard = NamedSharding(mesh, P(None, ("data", "fsdp")))
 
+    from unidepth_tpu.utils.logging import MetricLogger
+
+    logger = MetricLogger(
+        run_name=Path(args.config_file).stem, out_dir=args.checkpoint_dir, config=config
+    )
     n_iters = args.steps or tr.get("n_iters", 300000)
     key = jax.random.key(args.seed)
     t0 = time.time()
-    ema_losses = {}
     for step, batch in zip(range(start_step, n_iters), loader):
         batch = {k: jax.device_put(jnp.asarray(v), bshard) for k, v in batch.items()}
         state, metrics = step_fn(state, batch, jax.random.fold_in(key, step))
         if (step + 1) % 50 == 0 or step == start_step:
             m = {k: float(v) for k, v in metrics.items()}
-            for k, v in m.items():
-                if np.isfinite(v):
-                    ema_losses[k] = 0.99 * ema_losses.get(k, v) + 0.01 * v
+            ema_losses = logger.log(m, step + 1)
+            if (step + 1) % 1000 == 0:
+                logger.log(logger.memory_stats(), step + 1, prefix="sys")
             rate = (step + 1 - start_step) * batch_size * accum / (time.time() - t0)
             print(
                 f"step {step + 1}: "
-                + " ".join(f"{k}={v:.4f}" for k, v in sorted(ema_losses.items()))
+                + " ".join(f"{k.split('/')[-1]}={v:.4f}" for k, v in sorted(ema_losses.items()))
                 + f" | {rate:.1f} img/s"
             )
         if (step + 1) % tr.get("checkpoint_interval", 10000) == 0:

@@ -7,6 +7,7 @@ coords_grid) and returns (theta, phi) angles alongside unit rays.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from unidepth_tpu.geometry.coords import coords_grid
@@ -17,6 +18,11 @@ __all__ = [
     "spherical_to_euclidean",
     "euclidean_to_spherical",
     "unproject_points",
+    "project_points",
+    "downsample_min",
+    "dilate",
+    "erode",
+    "iou",
 ]
 
 
@@ -83,3 +89,79 @@ def unproject_points(depth: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     y = (gy[None] - cy) / fy
     rays = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
     return rays * depth
+
+
+def project_points(points_3d: jnp.ndarray, K: jnp.ndarray, image_shape: tuple[int, int]) -> jnp.ndarray:
+    """Scatter-based mean-depth rendering of 3D points onto the image grid
+    (reference geometric.py:160-204): project with K, accumulate z and
+    counts per pixel with segment sums, divide.
+
+    points_3d: (B, N, 3); K: (B, 3, 3) -> (B, H, W, 1).
+    """
+    h, w = image_shape
+    uvw = jnp.einsum("bij,bnj->bni", K, points_3d)
+    uv = uvw[..., :2] / uvw[..., 2:3]
+    uv = uv.astype(jnp.int32)
+    valid = (
+        (uv[..., 0] >= 0)
+        & (uv[..., 0] < w)
+        & (uv[..., 1] >= 0)
+        & (uv[..., 1] < h)
+    )
+    flat = jnp.clip(uv[..., 1], 0, h - 1) * w + jnp.clip(uv[..., 0], 0, w - 1)
+    z = jnp.where(valid, points_3d[..., 2], 0.0)
+    ones = valid.astype(jnp.float32)
+
+    def one(args):
+        idx, zz, cc = args
+        depth = jnp.zeros(h * w, jnp.float32).at[idx].add(zz)
+        count = jnp.zeros(h * w, jnp.float32).at[idx].add(cc)
+        return depth / jnp.maximum(count, 1.0)
+
+    out = jax.lax.map(one, (flat, z, ones))
+    return out.reshape(-1, h, w, 1)
+
+
+def downsample_min(depth: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """Min-pool downsample of sparse depth, zeros treated as invalid
+    (reference geometric.py:207-224). depth: (B, H, W, 1)."""
+    big = jnp.where(depth == 0.0, 1e5, depth)
+    pooled = -jax.lax.reduce_window(
+        -big,
+        -jnp.inf,
+        jax.lax.max,
+        (1, factor, factor, 1),
+        (1, factor, factor, 1),
+        "VALID",
+    )
+    return jnp.where(pooled > 1000.0, 0.0, pooled)
+
+
+def dilate(mask: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+    """Binary dilation via max-pool (reference geometric.py:255-268).
+    mask: (B, H, W, 1) float/bool."""
+    m = mask.astype(jnp.float32)
+    out = jax.lax.reduce_window(
+        m, -jnp.inf, jax.lax.max,
+        (1, kernel_size, kernel_size, 1), (1, 1, 1, 1), "SAME",
+    )
+    return (out > 0).astype(mask.dtype)
+
+
+def erode(mask: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+    """Binary erosion via min-pool (reference geometric.py:271-284)."""
+    m = mask.astype(jnp.float32)
+    out = -jax.lax.reduce_window(
+        -m, -jnp.inf, jax.lax.max,
+        (1, kernel_size, kernel_size, 1), (1, 1, 1, 1), "SAME",
+    )
+    return (out >= 1.0).astype(mask.dtype)
+
+
+def iou(mask1: jnp.ndarray, mask2: jnp.ndarray) -> jnp.ndarray:
+    """(reference geometric.py:287-302)."""
+    a = mask1.astype(bool)
+    b = mask2.astype(bool)
+    inter = jnp.sum(a & b).astype(jnp.float32)
+    union = jnp.maximum(jnp.sum(a | b).astype(jnp.float32), 1.0)
+    return inter / union

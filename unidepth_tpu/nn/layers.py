@@ -187,3 +187,57 @@ class AttentionLayer(nn.Module):
                 attn_bias=attn_bias,
             )
         return x
+
+
+class AttentionDecoderBlock(nn.Module):
+    """Cross-attn -> self-attn -> MLP block with single-head cross option
+    (reference layers/attention.py:219-351; exposed by the layer library,
+    unused by shipped models)."""
+
+    dim: int
+    num_heads: int = 4
+    expansion: int = 4
+    cosine: bool = False
+    gated: bool = False
+    layer_scale: float = 1.0
+    context_dim: Optional[int] = None
+    single_head_ca: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, pos_embed=None, pos_embed_context=None, attn_bias=None):
+        context = x if context is None else context
+        ca_heads = 1 if self.single_head_ca else self.num_heads
+
+        def attn(y, ctx, heads, prefix, pos_q=None, pos_k=None):
+            yn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"norm_{prefix}")(y)
+            cn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"norm_ctx_{prefix}")(ctx)
+            yn, cn = yn.astype(self.dtype), cn.astype(self.dtype)
+            kv = nn.Dense(2 * self.dim, dtype=self.dtype, name=f"kv_{prefix}")(cn)
+            q = nn.Dense(self.dim, dtype=self.dtype, name=f"q_{prefix}")(yn)
+            k, v = jnp.split(kv, 2, axis=-1)
+            q = _split_heads(q, heads)
+            k = _split_heads(k, heads)
+            v = _split_heads(v, heads)
+            if pos_q is not None:
+                q = q + _split_heads(pos_q.astype(self.dtype), heads)
+            if pos_k is not None:
+                k = k + _split_heads(pos_k.astype(self.dtype), heads)
+            if self.cosine:
+                q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
+                k = k / jnp.linalg.norm(k, axis=-1, keepdims=True).clip(1e-12)
+            o = _merge_heads(sdpa(q, k, v, bias=attn_bias))
+            return nn.Dense(self.dim, dtype=self.dtype, name=f"out_{prefix}")(o)
+
+        ca = attn(x, context, ca_heads, "ca", pos_q=pos_embed, pos_k=pos_embed_context)
+        if self.layer_scale > 0:
+            ca = LayerScale(self.dim, self.layer_scale, dtype=self.dtype, name="ls1")(ca)
+        x = x + ca
+        sa = attn(x, x, self.num_heads, "sa", pos_q=pos_embed)
+        if self.layer_scale > 0:
+            sa = LayerScale(self.dim, self.layer_scale, dtype=self.dtype, name="ls2")(sa)
+        x = x + sa
+        m = MLP(self.dim, expansion=self.expansion, gated=self.gated, dtype=self.dtype, name="mlp")(x)
+        if self.layer_scale > 0:
+            m = LayerScale(self.dim, self.layer_scale, dtype=self.dtype, name="ls3")(m)
+        return x + m
