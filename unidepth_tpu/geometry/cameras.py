@@ -469,3 +469,47 @@ class BatchCamera(CameraBase):
 
     def reconstruct(self, depth):
         return self._dispatch("reconstruct", depth)
+
+
+def _camera_base_extras():
+    """Attach late-bound helpers to CameraBase (kept out of the class body
+    to avoid a circular import with ops.patches)."""
+
+    def get_pinhole_rays(self, h: int, w: int, eps: float = 1e-4):
+        """Rays through the pinhole part of K only (reference
+        utils/camera.py:94-98) — differs from get_rays for distorted models."""
+        uv = jnp.broadcast_to(coords_grid(h, w, homogeneous=True), (self.batch, h, w, 3))
+        rays = jnp.einsum("bij,bhwj->bhwi", self.K_inv, uv)
+        return rays / _norm(rays, eps=eps)
+
+    def mask_overlap_projection(self, projected: jnp.ndarray) -> jnp.ndarray:
+        """Occlusion/fold-over mask for a projected flow field (reference
+        utils/camera.py:132-154): sample the flow a small step along itself;
+        pixels whose flow shrinks are overlaps."""
+        from unidepth_tpu.ops.patches import bilinear_sample
+
+        b, h, w, _ = projected.shape
+        idc = jnp.broadcast_to(coords_grid(h, w), (b, h, w, 2))
+        flow = projected - idc
+        gamma = 0.1
+        grid = gamma * flow + idc
+        sampled = bilinear_sample(flow, grid, zero_pad=False)
+        fn = jnp.linalg.norm(flow, axis=-1, keepdims=True)
+        sn = jnp.linalg.norm(sampled, axis=-1, keepdims=True)
+        return ((1.0 - gamma) * fn < sn) | (fn < 1.0)
+
+    def get_new_fov(self, new_shape, original_shape):
+        new_hfov = 2.0 * jnp.arctan(
+            self.params[..., 2] / self.params[..., 0] * new_shape[1] / original_shape[1]
+        )
+        new_vfov = 2.0 * jnp.arctan(
+            self.params[..., 3] / self.params[..., 1] * new_shape[0] / original_shape[0]
+        )
+        return new_hfov, new_vfov
+
+    CameraBase.get_pinhole_rays = get_pinhole_rays
+    CameraBase.mask_overlap_projection = mask_overlap_projection
+    CameraBase.get_new_fov = get_new_fov
+
+
+_camera_base_extras()
