@@ -353,3 +353,100 @@ def convert_v1_state_dict(
     else:
         encoder = convert_convnext(enc)
     return {"encoder": encoder, "decoder": convert_v1_decoder(dec)}
+
+
+def convert_v2old_decoder(sd: dict, num_resolutions: int = 4, num_levels: int = 3) -> dict:
+    """V2old Decoder weights -> DecoderV2Old params
+    (models/unidepthv2/old.py; reference decoder_old.py naming)."""
+    p = {}
+    for i in range(num_resolutions):
+        p[f"input_adapter_{i}"] = _v1_adapter(sd, f"input_adapter.input_adapters.{i}")
+    for i in range(4):
+        p[f"camera_token_adapter_{i}"] = _v1_adapter(
+            sd, f"camera_token_adapter.input_adapters.{i}"
+        )
+    for i in range(2):
+        p[f"global_token_adapter_{i}"] = _v1_adapter(
+            sd, f"global_token_adapter.input_adapters.{i}"
+        )
+    p["level_embeds"] = sd["level_embeds"]
+    p["le_fc1"] = _dense(sd, "level_embed_layer.0")
+    p["le_fc2"] = _dense(sd, "level_embed_layer.2")
+    p["le_norm"] = _ln(sd, "level_embed_layer.3")
+
+    p["camera_layer"] = {
+        "latents_pos": sd["camera_layer.latents_pos"],
+        "project_cls": _mlp(sd, "camera_layer.project_cls"),
+        "in_features": _mlp(sd, "camera_layer.in_features"),
+        "aggregate1": _attention_block(sd, "camera_layer.aggregate1"),
+        "aggregate2": _attention_block(sd, "camera_layer.aggregate2"),
+        "out": _mlp(sd, "camera_layer.out"),
+    }
+    p["global_layer"] = {
+        "project_cls": _mlp(sd, "global_layer.project_cls"),
+        "project_rays": _dense(sd, "global_layer.project_rays"),
+        "in_features": _dense(sd, "global_layer.in_features"),
+        "aggregate1": _attention_block(sd, "global_layer.aggregate1"),
+        "aggregate2": _attention_block(sd, "global_layer.aggregate2"),
+        "out": _mlp(sd, "global_layer.out"),
+    }
+
+    d = {
+        "to_latents": _mlp(sd, "depth_layer.to_latents"),
+        "features_channel_cat": _dense(sd, "depth_layer.features_channel_cat"),
+        "aggregate_16": _attention_block(sd, "depth_layer.aggregate_16"),
+        "prompt_camera": _attention_block(sd, "depth_layer.prompt_camera"),
+    }
+    for i in range(num_levels):
+        d[f"rays_layers_{i}"] = _dense(sd, f"depth_layer.rays_layers.{i}")
+        j = 0
+        while f"depth_layer.process_layers.{i}.{j}.q.weight" in sd:
+            d[f"process_layers_{i}_{j}"] = _attention_block(
+                sd, f"depth_layer.process_layers.{i}.{j}"
+            )
+            j += 1
+        pre = f"depth_layer.ups.{i}"
+        up = {}
+        j = 0
+        while f"{pre}.convs.{j}.dwconv.weight" in sd:
+            up[f"convs_{j}"] = {
+                "dwconv": {
+                    "conv": {
+                        "kernel": torch_conv(sd[f"{pre}.convs.{j}.dwconv.weight"]),
+                        "bias": sd[f"{pre}.convs.{j}.dwconv.bias"],
+                    }
+                },
+                "norm": _ln(sd, f"{pre}.convs.{j}.norm"),
+                "pwconv1": _dense(sd, f"{pre}.convs.{j}.pwconv1"),
+                "pwconv2": _dense(sd, f"{pre}.convs.{j}.pwconv2"),
+                "gamma": sd[f"{pre}.convs.{j}.gamma"],
+            }
+            j += 1
+        # Sequential(PixelShuffle, dwConv7, ReLU, Conv3) + residual
+        # (Sequential(Conv1x1, UpsamplingBilinear2d))
+        up["up_dw"] = _conv(sd, f"{pre}.up.1")
+        up["up_pw"] = _conv(sd, f"{pre}.up.3")
+        up["residual_proj"] = _conv(sd, f"{pre}.residual.0")
+        d[f"ups_{i}"] = up
+        d[f"depth_mlp_{i}"] = _mlp(sd, f"depth_layer.depth_mlp.{i}")
+        d[f"confidence_mlp_{i}"] = _mlp(sd, f"depth_layer.confidence_mlp.{i}")
+    d["to_depth"] = _conv(sd, "depth_layer.to_depth")
+    d["to_confidence"] = _conv(sd, "depth_layer.to_confidence")
+    p["depth_layer"] = d
+    return p
+
+
+def convert_v2old_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    output_idx: tuple[int, ...] = (21, 22, 23, 24),
+) -> dict:
+    sd = {
+        re.sub(r"^module\.", "", k): np.asarray(v, dtype=np.float32)
+        for k, v in state_dict.items()
+    }
+    enc = {k[len("pixel_encoder."):]: v for k, v in sd.items() if k.startswith("pixel_encoder.")}
+    dec = {k[len("pixel_decoder."):]: v for k, v in sd.items() if k.startswith("pixel_decoder.")}
+    return {
+        "encoder": convert_encoder(enc, output_idx),
+        "decoder": convert_v2old_decoder(dec),
+    }

@@ -92,6 +92,14 @@ def load_checkpoint(name_or_path: str, version: int = 2):
 
     sd = _read_state_dict(ckpt_file)
     enc_name = config["model"]["pixel_encoder"]["name"]
+    model_name = config.get("model", {}).get("name", f"UniDepthV{version}")
+    if model_name == "UniDepthV2old":
+        from unidepth_tpu.io.convert import convert_v2old_state_dict
+
+        output_idx = tuple(
+            config["model"]["pixel_encoder"].get("output_idx", (21, 22, 23, 24))
+        )
+        return config, convert_v2old_state_dict(sd, output_idx=output_idx)
     if version == 2:
         output_idx = tuple(
             config["model"]["pixel_encoder"].get("output_idx", (6, 12, 18, 24))

@@ -32,6 +32,31 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, blk_k: int, n_real: int, scale:
     blk_q, d = q.shape
     num_kb = n_pad // blk_k
 
+    if num_kb == 1:
+        # whole-K single pass: plain softmax, no running-stat corrections
+        s = (
+            jax.lax.dot_general(
+                q,
+                k_ref[0],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (blk_q, n_pad), 1)
+        s = jnp.where(col < n_real, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return
+
     def body(i, carry):
         acc, m_i, l_i = carry
         k_blk = k_ref[0, pl.ds(i * blk_k, blk_k), :]
