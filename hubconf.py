@@ -18,6 +18,8 @@ _CONFIGS = {
     ("v2", "vits14"): "configs/config_v2_vits14.json",
     ("v2", "vitb14"): "configs/config_v2_vitb14.json",
     ("v2", "vitl14"): "configs/config_v2_vitl14.json",
+    ("v2old", "vits14"): "configs/config_v2old_vits14.json",
+    ("v2old", "vitl14"): "configs/config_v2old_vitl14.json",
 }
 
 
@@ -27,9 +29,9 @@ def UniDepth(version: str = "v2", backbone: str = "vitl14", pretrained: str | No
     ``pretrained``: local checkpoint path or HF repo id
     (e.g. 'lpiccinelli/unidepth-v2-vitl14'); None builds random weights.
     """
-    from unidepth_tpu.models import UniDepthV1, UniDepthV2
+    from unidepth_tpu.models import UniDepthV1, UniDepthV2, UniDepthV2old
 
-    cls = UniDepthV2 if version == "v2" else UniDepthV1
+    cls = {"v1": UniDepthV1, "v2": UniDepthV2, "v2old": UniDepthV2old}[version]
     if pretrained:
         return cls.from_pretrained(pretrained)
     cfg = json.loads((_ROOT / _CONFIGS[(version, backbone)]).read_text())

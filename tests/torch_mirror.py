@@ -570,3 +570,195 @@ class MirrorV1Decoder(nn.Module):
             o = head(lat.view(b, *shapes, -1).permute(0, 3, 1, 2))
             outs.append(o.clamp(-10, 10).exp())
         return K, outs
+
+
+# ---------------------------------------------------------------------------
+# V2old mirror
+# ---------------------------------------------------------------------------
+
+
+class MirrorShuffleResidualUp(nn.Module):
+    def __init__(self, dim, expansion=4, num_layers=2, kernel_size=7):
+        super().__init__()
+        self.convs = nn.ModuleList()
+        for _ in range(num_layers):
+            blk = nn.Module()
+            blk.dwconv = nn.Conv2d(dim, dim, kernel_size, padding=kernel_size // 2, groups=dim)
+            blk.norm = nn.LayerNorm(dim, eps=1e-6)
+            blk.pwconv1 = nn.Linear(dim, expansion * dim)
+            blk.pwconv2 = nn.Linear(expansion * dim, dim)
+            blk.gamma = nn.Parameter(torch.ones(dim))
+            self.convs.append(blk)
+        self.up = nn.ModuleList(
+            [nn.PixelShuffle(2), nn.Conv2d(dim // 4, dim // 4, 7, padding=3, groups=dim // 4),
+             nn.ReLU(), nn.Conv2d(dim // 4, dim // 2, 3, padding=1)]
+        )
+        self.residual = nn.ModuleList(
+            [nn.Conv2d(dim, dim // 2, 1), nn.UpsamplingBilinear2d(scale_factor=2)]
+        )
+
+    def forward(self, x):
+        for blk in self.convs:
+            inp = x
+            y = blk.dwconv(x).permute(0, 2, 3, 1)
+            y = blk.norm(y)
+            y = blk.pwconv2(F.gelu(blk.pwconv1(y))) * blk.gamma
+            x = inp + y.permute(0, 3, 1, 2)
+        y = self.up[0](x)
+        y = self.up[1](y)
+        y = self.up[3](F.relu(y))
+        res = self.residual[1](self.residual[0](x))
+        out = y + res
+        b, ch, h, w = out.shape
+        return out.permute(0, 2, 3, 1).reshape(b, h * w, ch)
+
+
+def fourier_feats_cat(x, dim, max_freq):
+    num_bands = dim // x.shape[-1]
+    scales = 2.0 ** torch.linspace(0.0, math.log2(max_freq), steps=num_bands, dtype=x.dtype)
+    xs = x.unsqueeze(-1) * scales * math.pi
+    return torch.cat([torch.sin(xs).flatten(-2), x], dim=-1)
+
+
+class MirrorV2OldDecoder(nn.Module):
+    def __init__(self, input_dims, hidden_dim, num_heads=2, expansion=4, depths=(1, 0, 0), camera_dim=24):
+        super().__init__()
+        hd = hidden_dim
+        self.hidden_dim, self.depths, self.camera_dim = hd, depths, camera_dim
+        self.input_adapter = nn.Module()
+        self.input_adapter.input_adapters = nn.ModuleList(
+            [nn.Sequential(nn.LayerNorm(d), nn.Linear(d, hd), nn.GELU()) for d in input_dims]
+        )
+        self.camera_token_adapter = nn.Module()
+        self.camera_token_adapter.input_adapters = nn.ModuleList(
+            [nn.Sequential(nn.LayerNorm(d), nn.Linear(d, hd), nn.GELU()) for d in [input_dims[-1]] * 4]
+        )
+        self.global_token_adapter = nn.Module()
+        self.global_token_adapter.input_adapters = nn.ModuleList(
+            [nn.Sequential(nn.LayerNorm(d), nn.Linear(d, hd), nn.GELU()) for d in [input_dims[-1]] * 2]
+        )
+        self.level_embeds = nn.Parameter(torch.randn(len(input_dims), hd))
+        self.level_embed_layer = nn.Sequential(
+            nn.Linear(hd, hd), nn.GELU(), nn.Linear(hd, hd), nn.LayerNorm(hd)
+        )
+        cam = nn.Module()
+        cam.latents_pos = nn.Parameter(torch.randn(1, 4, hd))
+        cam.project_cls = MirrorMLP(hd, 4)
+        cam.in_features = MirrorMLP(hd, 2)
+        cam.aggregate1 = MirrorAttnBlock(hd, 1, expansion, 1.0)
+        cam.aggregate2 = MirrorAttnBlock(hd, 1, expansion, 1.0)
+        cam.out = MirrorMLP(hd, 2, 1)
+        self.camera_layer = cam
+        glob = nn.Module()
+        glob.project_cls = MirrorMLP(hd, 4)
+        glob.project_rays = nn.Linear(camera_dim + 3, hd)
+        glob.in_features = nn.Linear(hd, hd)
+        glob.aggregate1 = MirrorAttnBlock(hd, 1, expansion, 1.0)
+        glob.aggregate2 = MirrorAttnBlock(hd, 1, expansion, 1.0)
+        glob.out = MirrorMLP(hd, 2, 1)
+        self.global_layer = glob
+        d = nn.Module()
+        d.to_latents = MirrorMLP(hd, 2)
+        d.features_channel_cat = nn.Linear(hd * len(input_dims), hd)
+        d.aggregate_16 = MirrorAttnBlock(hd, 1, expansion, 1.0)
+        d.prompt_camera = MirrorAttnBlock(hd, 1, expansion, 1.0)
+        d.rays_layers = nn.ModuleList()
+        d.process_layers = nn.ModuleList()
+        d.ups = nn.ModuleList()
+        d.depth_mlp, d.confidence_mlp = nn.ModuleList(), nn.ModuleList()
+        for i, dep in enumerate(depths):
+            dim_i = hd // 2**i
+            d.rays_layers.append(nn.Linear(camera_dim + 3, dim_i))
+            d.process_layers.append(
+                nn.ModuleList([MirrorAttnBlock(dim_i, max(1, num_heads >> i), expansion, 1.0) for _ in range(dep)])
+            )
+            d.ups.append(MirrorShuffleResidualUp(dim_i, expansion))
+            d.depth_mlp.append(MirrorMLP(dim_i // 2, 1, 16))
+            d.confidence_mlp.append(MirrorMLP(dim_i // 2, 1, 16))
+        d.to_depth = nn.Conv2d(16 * len(depths), 1, 7, padding=3, padding_mode="reflect")
+        d.to_confidence = nn.Conv2d(16 * len(depths), 1, 7, padding=3, padding_mode="reflect")
+        self.depth_layer = d
+
+    def forward(self, feats, camera_tokens, global_tokens, image_shape, rays_gt=None):
+        H, W = image_shape
+        b, gh, gw, _ = feats[0].shape
+        feats = [ad(f.reshape(b, gh * gw, -1)) for ad, f in zip(self.input_adapter.input_adapters, feats)]
+        cam_cls = torch.cat([ad(t) for ad, t in zip(self.camera_token_adapter.input_adapters, camera_tokens)], dim=1)
+        glob_cls = torch.cat([ad(t) for ad, t in zip(self.global_token_adapter.input_adapters, global_tokens)], dim=1)
+        le = self.level_embed_layer(self.level_embeds)
+        level_embed = torch.repeat_interleave(le, gh * gw, dim=0)[None].expand(b, -1, -1)
+        pos = MirrorV1Decoder._pos_sine(gh, gw, le.shape[-1]).repeat(1, len(feats), 1).expand(b, -1, -1)
+
+        cl = self.camera_layer
+        cls_p = cl.project_cls(cam_cls)
+        lp = cl.latents_pos.expand(b, -1, -1)
+        stack = cl.in_features(torch.cat(feats, dim=1) + (pos + level_embed))
+        ctx = torch.cat([stack, cls_p], dim=1)
+        t = cl.aggregate1(cls_p, context=ctx, pos_embed=lp)
+        t = cl.aggregate2(t, context=ctx, pos_embed=lp)
+        x = cl.out(t).squeeze(-1)
+        mx = max(image_shape) / 2
+        K = torch.zeros(b, 3, 3)
+        K[:, 0, 0] = x[:, 0].exp() * mx
+        K[:, 1, 1] = x[:, 1].exp() * mx
+        K[:, 0, 2] = x[:, 2].sigmoid() * W
+        K[:, 1, 2] = x[:, 3].sigmoid() * H
+        K[:, 2, 2] = 1.0
+        if rays_gt is None:
+            xs = torch.linspace(0.5, W - 0.5, W)
+            ys = torch.linspace(0.5, H - 0.5, H)
+            gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+            rx = (gx[None] - K[:, 0, 2, None, None]) / K[:, 0, 0, None, None]
+            ry = (gy[None] - K[:, 1, 2, None, None]) / K[:, 1, 1, None, None]
+            rays = torch.stack([rx, ry, torch.ones_like(rx)], dim=-1)
+            rays = (rays / rays.norm(dim=-1, keepdim=True).clamp(min=1e-12)).reshape(b, H * W, 3)
+        else:
+            rays = rays_gt
+
+        def remb(new, dim):
+            r = rays.view(b, H, W, 3).permute(0, 3, 1, 2)
+            r = F.interpolate(r, size=new, mode="bilinear", align_corners=False, antialias=True)
+            r = r.permute(0, 2, 3, 1).reshape(b, -1, 3)
+            r = r / r.norm(dim=-1, keepdim=True).clamp(min=1e-12)
+            return fourier_feats_cat(r, self.camera_dim, max(new) // 2)
+
+        gl = self.global_layer
+        g_cls = gl.project_cls(glob_cls)
+        g_remb = gl.project_rays(remb((gh, gw), None))
+        g_remb = g_remb.repeat(1, len(feats), 1)
+        g_stack = gl.in_features(torch.cat(feats, dim=1) + g_remb)
+        g_ctx = torch.cat([g_stack, g_cls], dim=1)
+        g = gl.aggregate1(g_cls, context=g_ctx)
+        g = gl.aggregate2(g, context=g_ctx)
+        gx2 = gl.out(g).squeeze(-1)
+        scale = gx2[:, 0].exp().reshape(-1, 1, 1, 1)
+        shift = gx2[:, 1].reshape(-1, 1, 1, 1)
+
+        d = self.depth_layer
+        rembs = [d.rays_layers[i](remb((gh * 2**i, gw * 2**i), None)) for i in range(len(self.depths))]
+        f16 = d.features_channel_cat(torch.cat(feats, dim=-1))
+        lat = f16 + d.to_latents(f16)
+        lat = d.aggregate_16(lat, context=torch.cat(feats, dim=1), pos_embed_context=pos + level_embed)
+        lat = d.prompt_camera(lat, context=rembs[0])
+        out_feats = []
+        shapes = (gh, gw)
+        for i, layers in enumerate(d.process_layers):
+            for blk in layers:
+                lat = blk(lat, pos_embed=rembs[i])
+            grid = (lat + rembs[i]).view(b, *shapes, -1).permute(0, 3, 1, 2)
+            lat = d.ups[i](grid)
+            shapes = (shapes[0] * 2, shapes[1] * 2)
+            out_feats.append(lat.view(b, *shapes, -1))
+        depths_out, confs = [], []
+        for i, (layer, feat) in enumerate(zip(d.depth_mlp[::-1], out_feats[::-1])):
+            o = layer(feat).permute(0, 3, 1, 2)
+            depths_out.append(F.interpolate(o, size=(H, W), mode="bilinear", align_corners=False))
+        for i, (layer, feat) in enumerate(zip(d.confidence_mlp[::-1], out_feats[::-1])):
+            o = layer(feat).permute(0, 3, 1, 2)
+            confs.append(F.interpolate(o, size=(H, W), mode="bilinear", align_corners=False))
+        logdepth = d.to_depth(torch.cat(depths_out, dim=1))
+        confidence = torch.sigmoid(d.to_confidence(torch.cat(confs, dim=1)))
+        shp = [int(s) for s in logdepth.shape[-2:]]
+        depth_n = F.layer_norm(logdepth, shp).exp()
+        depth = F.softplus((depth_n + shift) * scale, beta=10.0)
+        return K, depth, confidence

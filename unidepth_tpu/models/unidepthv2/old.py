@@ -206,6 +206,7 @@ class DecoderV2Old(nn.Module):
     num_heads: int = 8
     expansion: int = 4
     depths: tuple[int, ...] = (6, 0, 0)
+    camera_dim: int = 96
     attn_impl: str = "nystrom"
     dtype: Dtype = jnp.float32
 
@@ -227,13 +228,15 @@ class DecoderV2Old(nn.Module):
             hidden_dim=self.hidden_dim, expansion=self.expansion, dtype=self.dtype, name="camera_layer"
         )
         self.global_layer = GlobalHeadOld(
-            hidden_dim=self.hidden_dim, expansion=self.expansion, dtype=self.dtype, name="global_layer"
+            hidden_dim=self.hidden_dim, camera_dim=self.camera_dim,
+            expansion=self.expansion, dtype=self.dtype, name="global_layer"
         )
         self.depth_layer = DepthHeadOld(
             hidden_dim=self.hidden_dim,
             num_heads=self.num_heads,
             expansion=self.expansion,
             depths=tuple(self.depths),
+            camera_dim=self.camera_dim,
             attn_impl=self.attn_impl,
             dtype=self.dtype,
             name="depth_layer",
