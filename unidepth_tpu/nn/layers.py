@@ -14,7 +14,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from unidepth_tpu.ops.attention import sdpa
+from unidepth_tpu.ops.attention import attention, sdpa
 
 Dtype = jnp.dtype
 
@@ -126,7 +126,7 @@ class AttentionBlock(nn.Module):
             q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
             k = k / jnp.linalg.norm(k, axis=-1, keepdims=True).clip(1e-12)
 
-        attn = _merge_heads(sdpa(q, k, v, bias=attn_bias))
+        attn = _merge_heads(attention(q, k, v, bias=attn_bias))
         attn = nn.Dense(self.dim, use_bias=self.use_bias, dtype=self.dtype, name="out")(attn)
         if self.layer_scale > 0.0:
             attn = LayerScale(self.dim, self.layer_scale, dtype=self.dtype, name="ls1")(attn)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sdpa"]
+__all__ = ["sdpa", "attention"]
 
 
 def sdpa(
@@ -45,3 +45,31 @@ def sdpa(
         preferred_element_type=jnp.float32,
     )
     return out.astype(v.dtype)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatching attention over (B, H, N, D): flash kernel for long
+    unbiased sequences on TPU, XLA SDPA otherwise."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    use_flash = impl == "flash" or (
+        impl == "auto"
+        and bias is None
+        and min(nq, nk) >= 1024
+        and d <= 128
+        and jax.default_backend() not in ("cpu",)
+    )
+    if not use_flash:
+        return sdpa(q, k, v, bias=bias)
+    from unidepth_tpu.ops.flash_attention import flash_attention
+
+    out = flash_attention(
+        q.reshape(b * h, nq, d), k.reshape(b * h, nk, d), v.reshape(b * h, nk, d)
+    )
+    return out.reshape(b, h, nq, d)

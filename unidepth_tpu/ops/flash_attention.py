@@ -94,16 +94,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, blk_k: int, n_real: int, scale:
 
 
 def _flash_fwd(q, k, v, *, blk_q: int, blk_k: int, scale: float):
-    bh, n, d = q.shape
-    n_pad_q = -(-n // blk_q) * blk_q
-    n_pad_k = -(-n // blk_k) * blk_k
-    qp = jnp.pad(q, ((0, 0), (0, n_pad_q - n), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, n_pad_k - n), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, n_pad_k - n), (0, 0)))
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    n_pad_q = -(-nq // blk_q) * blk_q
+    n_pad_k = -(-nk // blk_k) * blk_k
+    qp = jnp.pad(q, ((0, 0), (0, n_pad_q - nq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, n_pad_k - nk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, n_pad_k - nk), (0, 0)))
 
     grid = (bh, n_pad_q // blk_q)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, blk_k=blk_k, n_real=n, scale=scale),
+        functools.partial(_flash_kernel, blk_k=blk_k, n_real=nk, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, blk_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -115,7 +116,7 @@ def _flash_fwd(q, k, v, *, blk_q: int, blk_k: int, scale: float):
         ),
         out_shape=jax.ShapeDtypeStruct((bh, n_pad_q, d), q.dtype),
     )(qp, kp, vp)
-    return out[:, :n]
+    return out[:, :nq]
 
 
 def _xla_attention(q, k, v, scale):
@@ -142,14 +143,14 @@ def flash_attention(q, k, v, blk_q: int | None = None, blk_k: int | None = None,
     """q, k, v: (BH, N, D) -> (BH, N, D). fp32 softmax, bf16-friendly."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    blk_q, blk_k = _pick_blocks(q.shape[1], blk_q, blk_k)
+    blk_q, blk_k = _pick_blocks(k.shape[1], blk_q, blk_k)
     return _flash_fwd(q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale)
 
 
 def _fwd(q, k, v, blk_q, blk_k, scale):
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    blk_q, blk_k = _pick_blocks(q.shape[1], blk_q, blk_k)
+    blk_q, blk_k = _pick_blocks(k.shape[1], blk_q, blk_k)
     return _flash_fwd(q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale), (q, k, v)
 
 
