@@ -280,7 +280,14 @@ class SelfDistill:
 
     def __call__(self, input, intrinsics, mask, flips, downsample_ratio=1, **kw):
         """input: (B, H, W, C) with B = 2*pairs interleaved; intrinsics
-        (B,3,3); mask (B,H,W,1); flips (B,) bool."""
+        (B,3,3); mask (B,H,W,1); flips (B,) bool. The mask is nearest-
+        resized onto input's grid when shapes differ (the reference
+        interpolates, distill.py:29), covering the V1 use on 1/14-scale
+        depth features."""
+        if mask.shape[1:3] != input.shape[1:3]:
+            from unidepth_tpu.ops.resize import resize
+
+            mask = resize(mask.astype(jnp.float32), input.shape[1:3], mode="nearest") > 0.5
         b = input.shape[0]
         x0, x1 = input[0::2], input[1::2]
         m0, m1 = mask[0::2], mask[1::2]

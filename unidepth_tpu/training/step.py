@@ -139,3 +139,88 @@ def make_train_step(model, optimizer, config: dict):
 def optax_global_norm(tree) -> jnp.ndarray:
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def compute_losses_v1(losses: dict, outputs: dict, batch: dict, rng) -> dict:
+    """V1 loss recipe (reference unidepthv1.py:235-284): SILog depth,
+    rays regression, SelfDistill on the 1/14-scale depth features with
+    downsample_ratio=14."""
+    out = {}
+    depth_mask = batch["depth_mask"]
+    si = batch.get("si")
+    flips = batch.get("flips")
+
+    l = losses["depth"]
+    out["depth"] = l.weight * l(
+        outputs["depth"], batch["depth"], depth_mask, si=si
+    ).mean()
+
+    l = losses["camera"]
+    b = outputs["rays"].shape[0]
+    out["camera"] = l.weight * l(
+        outputs["rays"].reshape(b, -1, 3), batch["rays"]
+    ).mean()
+
+    if "invariance" in losses:
+        l = losses["invariance"]
+        out["invariance"] = l.weight * l(
+            outputs["depth_features"],
+            intrinsics=batch["K"],
+            mask=depth_mask,
+            flips=flips if flips is not None else jnp.zeros(b, bool),
+            downsample_ratio=14,
+        ).mean()
+
+    out["total"] = sum(out.values())
+    return out
+
+
+def make_train_step_v1(model, optimizer, config: dict):
+    """V1 variant of make_train_step (same state/optimizer machinery)."""
+    losses = build_losses(config)
+    ema_cfg = dict(
+        decay=1.0 - (1.0 - 0.9995) * 10,
+        update_after_step=config["training"].get("warmup_iters", 75000) // 10,
+        tau=20000,
+    )
+
+    def loss_fn(params, batch, rng):
+        outputs = model.encode_decode(
+            params, batch["image"], rays_gt=batch.get("rays")
+        )
+        ldict = compute_losses_v1(losses, outputs, batch, rng)
+        return ldict["total"], ldict
+
+    def init_state(params) -> TrainState:
+        return TrainState(
+            params=params,
+            opt_state=optimizer.init(params),
+            ema=ema_init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def train_step(state: TrainState, batch: dict, rng):
+        grad_fn = jax.grad(loss_fn, has_aux=True)
+
+        def micro(grads_acc, inp):
+            mb, key = inp
+            grads, ldict = grad_fn(state.params, mb, key)
+            return jax.tree.map(jnp.add, grads_acc, grads), ldict
+
+        accum = jax.tree.leaves(batch)[0].shape[0]
+        keys = jax.random.split(rng, accum)
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        grads, ldicts = jax.lax.scan(micro, zeros, (batch, keys), length=accum)
+        ldict = jax.tree.map(lambda x: x.mean(), ldicts)
+        grads = jax.tree.map(lambda g: g / accum, grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(jnp.add, state.params, updates)
+        ema = ema_update(state.ema, params, **ema_cfg)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, ema=ema, step=state.step + 1
+        )
+        metrics = dict(ldict)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    return init_state, train_step
