@@ -145,20 +145,20 @@ class UniDepthV2:
     def from_config(cls, config: dict, params=None, dtype=None) -> "UniDepthV2":
         """Build from a reference-schema JSON config dict
         (reference unidepthv2.py:418-460)."""
-        enc_name = config["model"]["pixel_encoder"]["name"]  # e.g. dinov2_vitl14
+        pe = config["model"]["pixel_encoder"]
+        enc_name = pe["name"]  # e.g. dinov2_vitl14
         preset = enc_name.replace("dinov2_", "")
-        vit = VIT_PRESETS[preset]
+        vit = VIT_PRESETS.get(preset)
         enc_cfg = ViTConfig(
-            embed_dim=vit.embed_dim,
-            depth=vit.depth,
-            num_heads=vit.num_heads,
+            embed_dim=pe.get("embed_dim", vit.embed_dim if vit else 384),
+            depth=pe.get("depth", vit.depth if vit else 12),
+            num_heads=pe.get("num_heads", vit.num_heads if vit else 6),
+            pos_embed_size=pe.get("pos_embed_size", 37),
             output_idx=tuple(
-                config["model"]["pixel_encoder"].get("output_idx", vit.output_idx)
+                pe.get("output_idx", vit.output_idx if vit else (3, 6, 9, 12))
             ),
-            num_register_tokens=config["model"]["pixel_encoder"].get(
-                "num_register_tokens", 0
-            ),
-            use_norm=config["model"]["pixel_encoder"].get("use_norm", True),
+            num_register_tokens=pe.get("num_register_tokens", 0),
+            use_norm=pe.get("use_norm", True),
         )
         sc = config.get("data", {}).get("augmentations", {}).get("shape_constraints")
         shape_constraints = None
