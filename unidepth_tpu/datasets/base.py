@@ -191,3 +191,14 @@ class HDF5Dataset:
 
 def make_dataset(name: str, **kwargs) -> HDF5Dataset:
     return HDF5Dataset(SPECS[name], **kwargs)
+
+
+def decode_flow(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit PNG optical flow: channels 0/1 carry (u, v) packed as
+    (value / 2^4 - 2^11) twelve-bit fixed point; channel 2 is validity
+    (reference datasets/utils_decode.py:100-122). Returns (flow (H,W,2),
+    valid (H,W) bool)."""
+    img = np.asarray(Image.open(io.BytesIO(blob))).astype(np.float64)
+    flow = (img[..., :2] / 2.0**4) - 2.0**11
+    valid = img[..., 2] > 0 if img.shape[-1] > 2 else np.ones(img.shape[:2], bool)
+    return flow.astype(np.float32), valid

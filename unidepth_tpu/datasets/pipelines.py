@@ -254,3 +254,114 @@ class Normalize:
         x = (x - np.asarray(self.mean, np.float32)) / np.asarray(self.std, np.float32)
         sample["image_norm"] = x
         return sample
+
+
+@dataclasses.dataclass
+class RandomSolarize:
+    prob: float = 0.1
+    threshold: int = 128
+
+    def __call__(self, sample, rng):
+        if rng.random() >= self.prob:
+            return sample
+        sample["image"] = np.asarray(
+            ImageOps.solarize(_to_pil(sample["image"]), threshold=self.threshold)
+        )
+        return sample
+
+
+@dataclasses.dataclass
+class RandomPosterize:
+    prob: float = 0.1
+    bits: int = 4
+
+    def __call__(self, sample, rng):
+        if rng.random() >= self.prob:
+            return sample
+        sample["image"] = np.asarray(
+            ImageOps.posterize(_to_pil(sample["image"]), bits=self.bits)
+        )
+        return sample
+
+
+@dataclasses.dataclass
+class RandomEqualize:
+    prob: float = 0.1
+
+    def __call__(self, sample, rng):
+        if rng.random() >= self.prob:
+            return sample
+        sample["image"] = np.asarray(ImageOps.equalize(_to_pil(sample["image"])))
+        return sample
+
+
+@dataclasses.dataclass
+class RandomMasking:
+    """Zero out random square patches of the image (reference
+    transforms.py:336): augmentation robustness to occlusions."""
+
+    prob: float = 0.2
+    mask_ratio: float = 0.1
+    patch: int = 16
+
+    def __call__(self, sample, rng):
+        if rng.random() >= self.prob:
+            return sample
+        img = sample["image"].copy()
+        h, w = img.shape[:2]
+        n = int(self.mask_ratio * (h * w) / self.patch**2)
+        for _ in range(n):
+            y = int(rng.integers(0, max(1, h - self.patch)))
+            x = int(rng.integers(0, max(1, w - self.patch)))
+            img[y : y + self.patch, x : x + self.patch] = 0
+        sample["image"] = img
+        return sample
+
+
+@dataclasses.dataclass
+class RandomFiller:
+    """Fill padded (invalid) border regions with noise/black/white/zero
+    (reference transforms.py:1358). Operates where validity is False."""
+
+    modes: tuple[str, ...] = ("noise", "black", "white")
+
+    def __call__(self, sample, rng):
+        v = sample.get("validity")
+        if v is None or v.all():
+            return sample
+        img = sample["image"].copy()
+        mode = self.modes[int(rng.integers(0, len(self.modes)))]
+        inv = ~v
+        if mode == "noise":
+            img[inv] = rng.integers(0, 255, (int(inv.sum()), 3), dtype=np.uint8)
+        elif mode == "white":
+            img[inv] = 255
+        else:
+            img[inv] = 0
+        sample["image"] = img
+        return sample
+
+
+def masked_nearest_fill(depth: np.ndarray, mask: np.ndarray, iters: int = 2) -> np.ndarray:
+    """Propagate valid depth into invalid neighbors (cheap approximation of
+    reference masked_nearest_interpolation, transforms.py:1046)."""
+    d = depth.copy()
+    m = mask.copy()
+    for _ in range(iters):
+        if m.all():
+            break
+        shifted = [
+            (np.roll(d, s, axis=a), np.roll(m, s, axis=a))
+            for a in (0, 1)
+            for s in (1, -1)
+        ]
+        acc = np.zeros_like(d)
+        cnt = np.zeros_like(d)
+        for sd, sm in shifted:
+            acc += np.where(sm, sd, 0.0)
+            cnt += sm.astype(d.dtype)
+        fill = np.divide(acc, np.maximum(cnt, 1), out=np.zeros_like(d))
+        new = ~m & (cnt > 0)
+        d[new] = fill[new]
+        m = m | new
+    return d

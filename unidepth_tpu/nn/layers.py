@@ -241,3 +241,16 @@ class AttentionDecoderBlock(nn.Module):
         if self.layer_scale > 0:
             m = LayerScale(self.dim, self.layer_scale, dtype=self.dtype, name="ls3")(m)
         return x + m
+
+
+def drop_path(x, rate: float, rng, deterministic: bool = True):
+    """Stochastic depth over the batch axis (reference layers/drop_path.py:
+    scale-compensated per-sample residual drop)."""
+    if deterministic or rate <= 0.0:
+        return x
+    import jax
+
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x * mask / keep
