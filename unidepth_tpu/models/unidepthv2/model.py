@@ -297,13 +297,121 @@ class UniDepthV2:
         return fn
 
     # ------------------------------------------------------------------
+    # 'core' compile granularity: the expensive encoder+decoder program is
+    # keyed ONLY by the network shape; cheap pre/post programs compile per
+    # input shape in seconds. Serving arbitrary input sizes then costs one
+    # big compile per resolution bucket instead of one per input shape.
+    # ------------------------------------------------------------------
+    def _core_fn(self, new_hw, has_camera):
+        key = ("core", new_hw, has_camera)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        new_h, new_w = new_hw
+
+        def core(params, x, rays_gt):
+            feats, cls_tokens = self.encoder.apply(
+                {"params": params["encoder"]}, x.astype(self.dtype)
+            )
+            out = self.decoder.apply(
+                {"params": params["decoder"]},
+                feats,
+                cls_tokens,
+                (new_h, new_w),
+                rays_gt=rays_gt if has_camera else None,
+            )
+            rays = out["rays"].reshape(-1, new_h, new_w, 3).astype(jnp.float32)
+            points = rays * out["radius"]
+            return {
+                "points": points,
+                "rays": rays,
+                "confidence": out["confidence"],
+                "intrinsics": out["intrinsics"],
+                "depth_features": out["depth_features"],
+            }
+
+        fn = jax.jit(core)
+        self._jit_cache[key] = fn
+        return fn
+
+    def _infer_core_mode(self, rgb, camera, normalize, pads, padded, new_hw, factor):
+        pl, pr, pt, pb = pads
+        padded_h, padded_w = padded
+        new_h, new_w = new_hw
+        pre_key = ("pre", rgb.shape[1:3], pads, new_hw, normalize)
+        if pre_key not in self._jit_cache:
+
+            def pre(x):
+                if normalize:
+                    mean = jnp.asarray(IMAGENET_DATASET_MEAN) * 255.0
+                    std = jnp.asarray(IMAGENET_DATASET_STD) * 255.0
+                    x = (x - mean) / std
+                x = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+                return resize(x, (new_h, new_w), mode="bilinear", align_corners=False)
+
+            self._jit_cache[pre_key] = jax.jit(pre)
+        x = self._jit_cache[pre_key](rgb)
+
+        rays_gt = None
+        if camera is not None:
+            cam = camera.crop(-pl, -pt).resize(factor)
+            rays_gt = cam.get_rays(new_h, new_w, eps=1e-4).reshape(-1, new_h * new_w, 3)
+        out = self._core_fn(new_hw, camera is not None)(
+            self._serving_params(), x, rays_gt
+        )
+
+        post_key = ("post", new_hw, padded, pads, factor)
+        if post_key not in self._jit_cache:
+
+            def post_fn(out):
+                def post(t):
+                    t = resize(
+                        t, (padded_h, padded_w), mode=self.interpolation_mode,
+                        align_corners=False,
+                    )
+                    return t[:, pt : padded_h - pb, pl : padded_w - pr]
+
+                points = post(out["points"])
+                rays = post(out["rays"])
+                rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True).clip(1e-5)
+                K = out["intrinsics"]
+                scale_mat = jnp.asarray(
+                    [[1.0 / factor, 1.0, 1.0 / factor],
+                     [1.0, 1.0 / factor, 1.0 / factor],
+                     [1.0, 1.0, 1.0]]
+                )
+                K = (K * scale_mat).at[:, 0, 2].add(-pl).at[:, 1, 2].add(-pt)
+                return {
+                    "depth": points[..., 2:3],
+                    "points": points,
+                    "rays": rays,
+                    "confidence": post(out["confidence"]),
+                    "radius": jnp.linalg.norm(points, axis=-1, keepdims=True),
+                    "intrinsics": K,
+                    "depth_features": out["depth_features"],
+                }
+
+            self._jit_cache[post_key] = jax.jit(post_fn)
+        return self._jit_cache[post_key](out)
+
+    # ------------------------------------------------------------------
     # public inference API
     # ------------------------------------------------------------------
-    def infer(self, rgb, camera=None, normalize: bool = True) -> dict:
+    def infer(
+        self,
+        rgb,
+        camera=None,
+        normalize: bool = True,
+        compile_granularity: str = "full",
+    ) -> dict:
         """rgb: (H,W,3) | (B,H,W,3) channel-last, or (3,H,W) | (B,3,H,W)
         channel-first; uint8 or float. camera: Pinhole/`CameraBase`, or a
         (3,3)/(B,3,3) K matrix. Returns channel-last float32 outputs at the
-        input resolution (reference unidepthv2.py:239-339)."""
+        input resolution (reference unidepthv2.py:239-339).
+
+        compile_granularity: 'full' fuses the whole pipeline into one XLA
+        program per input shape (fastest steady-state); 'core' compiles the
+        expensive network once per *resolution bucket* and pre/post per
+        input shape (fast warm-up when serving many input sizes)."""
         rgb = np.asarray(rgb) if not isinstance(rgb, jnp.ndarray) else rgb
         if rgb.ndim == 3:
             rgb = rgb[None]
@@ -328,6 +436,11 @@ class UniDepthV2:
             self._pixels_bounds(),
             self.shape_constraints["shape_mult"],
         )
+        if compile_granularity == "core":
+            return self._infer_core_mode(
+                rgb, camera, normalize, pads, (padded_h, padded_w),
+                (new_h, new_w), factor,
+            )
         key = (
             H,
             W,
@@ -360,3 +473,18 @@ class UniDepthV2:
         out["points"] = points
         out["depth"] = points[..., 2:3]
         return out
+
+
+def get_params_info(model: "UniDepthV2", config: dict):
+    """Optimizer grouping info (reference unidepthv2.py:396-412 get_params):
+    returns (lr_scale_tree, wd_mask_tree) for the model's params — consumed
+    by training/optim.build_optimizer, exposed here for API parity."""
+    from unidepth_tpu.training.optim import lr_scale_tree, wd_mask_tree
+
+    tr = config.get("training", {})
+    enc_lr = config["model"]["pixel_encoder"].get("lr", 2e-6)
+    lr = tr.get("lr", 1e-4)
+    scales = lr_scale_tree(
+        model.params, enc_lr / lr, tr.get("ld", 1.0), model.encoder_cfg.depth
+    )
+    return scales, wd_mask_tree(model.params)
