@@ -134,7 +134,11 @@ class DinoViT(nn.Module):
 
     ``stacking``:
       * 'last' — features/cls of the stage-final block (V2 shipped configs,
-        reference unidepthv2.py:364-372 with stacking_fn='last');
+        reference unidepthv2.py:364-372 with stacking_fn='last'; cheapest:
+        only the scan carry materializes);
+      * 'max' | 'mean' | 'first' | 'softmax' — reduce every block output in
+        the stage with utils/misc.STACKING_FNS (the reference's other
+        stacking_fn options);
       * 'max_cls' — V1 behaviour: per-block features get their cls token
         added (reference unidepthv1.py:321-326), stages reduce with an
         elementwise max (max_stack), and the returned cls tokens are those
@@ -220,7 +224,7 @@ class DinoViT(nn.Module):
         all_cls: list[jnp.ndarray] = []
         for si in range(len(cfg.output_idx)):
             seg_len = boundaries[si + 1] - boundaries[si]
-            collect_ys = self.stacking == "max_cls"
+            collect_ys = self.stacking != "last"
             Scanned = nn.scan(
                 nn.remat(ViTBlock),
                 variable_axes={"params": 0},
@@ -245,6 +249,22 @@ class DinoViT(nn.Module):
                 combined = jnp.max(seg_patches + seg_cls, axis=0)
                 feats.append(combined.reshape(b, gh, gw, c))
                 all_cls.extend([seg_cls[i] for i in range(seg_len)])
+            elif self.stacking != "last":
+                outs = ys
+                if final_norm is not None:
+                    outs = final_norm(outs).astype(self.dtype)
+                if self.stacking == "max":
+                    red = jnp.max(outs, axis=0)
+                elif self.stacking == "mean":
+                    red = jnp.mean(outs, axis=0)
+                elif self.stacking == "first":
+                    red = outs[0]
+                elif self.stacking == "softmax":
+                    red = jnp.sum(jax.nn.softmax(outs, axis=0) * outs, axis=0)
+                else:
+                    raise ValueError(self.stacking)
+                cls_tokens.append(red[:, :1])
+                feats.append(red[:, 1 + reg :].reshape(b, gh, gw, c))
             else:
                 out = x
                 if final_norm is not None:

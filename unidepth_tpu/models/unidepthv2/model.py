@@ -91,6 +91,7 @@ class UniDepthV2:
         dtype: Any = None,
         params=None,
         attn_impl: str | None = None,
+        stacking: str = "last",
     ):
         if dtype is None:
             dtype = (
@@ -104,7 +105,9 @@ class UniDepthV2:
             attn_impl = os.environ.get("UNIDEPTH_ATTN_IMPL", "auto")
         self.dtype = dtype
         self.encoder_cfg = encoder_cfg
-        self.encoder = DinoViT(cfg=encoder_cfg, attn_impl=attn_impl, dtype=dtype)
+        self.encoder = DinoViT(
+            cfg=encoder_cfg, stacking=stacking, attn_impl=attn_impl, dtype=dtype
+        )
         self.decoder = Decoder(
             input_dims=(encoder_cfg.embed_dim,) * 4,
             hidden_dim=hidden_dim,
@@ -160,6 +163,7 @@ class UniDepthV2:
             num_register_tokens=pe.get("num_register_tokens", 0),
             use_norm=pe.get("use_norm", True),
         )
+        stacking = pe.get("stacking_fn", "last")
         sc = config.get("data", {}).get("augmentations", {}).get("shape_constraints")
         shape_constraints = None
         if sc:
@@ -181,6 +185,7 @@ class UniDepthV2:
             shape_constraints=shape_constraints,
             dtype=dtype,
             params=params,
+            stacking=stacking,
         )
 
     @classmethod
