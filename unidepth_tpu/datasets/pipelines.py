@@ -13,7 +13,6 @@ Cameras are updated alongside pixels exactly as in the reference
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Sequence
 
 import numpy as np

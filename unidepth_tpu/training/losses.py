@@ -21,8 +21,8 @@ Every loss returns a per-sample vector (B,); callers weight and mean.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Any, Sequence
+from dataclasses import dataclass
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ chain, so the whole optimizer jits and shards with the params.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ loss blocks).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
