@@ -762,3 +762,55 @@ class MirrorV2OldDecoder(nn.Module):
         depth_n = F.layer_norm(logdepth, shp).exp()
         depth = F.softplus((depth_n + shift) * scale, beta=10.0)
         return K, depth, confidence
+
+
+# ---------------------------------------------------------------------------
+# ConvNeXt mirror (timm-style names)
+# ---------------------------------------------------------------------------
+
+
+class MirrorConvNeXt(nn.Module):
+    def __init__(self, depths=(1, 1, 2, 1), dims=(16, 32, 64, 128)):
+        super().__init__()
+        self.depths, self.dims = depths, dims
+        self.stem = nn.Sequential(
+            nn.Conv2d(3, dims[0], 4, stride=4), nn.LayerNorm(dims[0], eps=1e-6)
+        )
+        self.stages = nn.ModuleList()
+        for s, (dep, dim) in enumerate(zip(depths, dims)):
+            stage = nn.Module()
+            if s > 0:
+                stage.downsample = nn.Sequential(
+                    nn.LayerNorm(dims[s - 1], eps=1e-6),
+                    nn.Conv2d(dims[s - 1], dim, 2, stride=2),
+                )
+            blocks = nn.ModuleList()
+            for _ in range(dep):
+                blk = nn.Module()
+                blk.conv_dw = nn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+                blk.norm = nn.LayerNorm(dim, eps=1e-6)
+                blk.mlp = nn.Module()
+                blk.mlp.fc1 = nn.Linear(dim, 4 * dim)
+                blk.mlp.fc2 = nn.Linear(4 * dim, dim)
+                blk.gamma = nn.Parameter(1e-6 * torch.ones(dim))
+                blocks.append(blk)
+            stage.blocks = blocks
+            self.stages.append(stage)
+
+    def forward(self, x):
+        x = self.stem[0](x)
+        x = self.stem[1](x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+        feats, tokens = [], []
+        for s, stage in enumerate(self.stages):
+            if s > 0:
+                y = stage.downsample[0](x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+                x = stage.downsample[1](y)
+            for blk in stage.blocks:
+                inp = x
+                y = blk.conv_dw(x).permute(0, 2, 3, 1)
+                y = blk.norm(y)
+                y = blk.mlp.fc2(F.gelu(blk.mlp.fc1(y))) * blk.gamma
+                x = inp + y.permute(0, 3, 1, 2)
+            feats.append(x.permute(0, 2, 3, 1))
+            tokens.append(x.mean(dim=(2, 3))[:, None, :])
+        return feats, tokens
