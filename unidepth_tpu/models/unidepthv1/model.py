@@ -202,10 +202,11 @@ class UniDepthV1:
         nh, nw = self.image_shape
 
         def run(params, rgb, K):
+            # rgb arrives in [0,1] (host pre-scales uint8) or pre-normalized
             x = rgb
             if normalize:
-                mean = jnp.asarray(IMAGENET_DATASET_MEAN) * 255.0
-                std = jnp.asarray(IMAGENET_DATASET_STD) * 255.0
+                mean = jnp.asarray(IMAGENET_DATASET_MEAN)
+                std = jnp.asarray(IMAGENET_DATASET_STD)
                 x = (x - mean) / std
             x = resize(x, (sh, sw), mode="bilinear", align_corners=False, antialias=True)
             x = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
@@ -272,7 +273,17 @@ class UniDepthV1:
             rgbs = jnp.transpose(jnp.asarray(rgbs), (0, 2, 3, 1))
         rgbs = jnp.asarray(rgbs, jnp.float32)
         B, H, W, _ = rgbs.shape
-        normalize = True  # uint8/[0,1] input path of the reference
+        # reference heuristic (unidepthv1.py:300-307): raw uint8/[0,255]
+        # scales to [0,1]; anything already in [0,1] gets ImageNet-normalized;
+        # pre-normalized inputs (values outside [0,1], e.g. negatives) pass
+        # through untouched.
+        mx = float(jnp.max(rgbs))
+        mn = float(jnp.min(rgbs))
+        if mx > 5.0:
+            rgbs = rgbs / 255.0
+            normalize = True
+        else:
+            normalize = mn >= 0.0 and mx <= 1.0
 
         K = None
         if intrinsics is not None:

@@ -429,9 +429,12 @@ class UniDepthV2:
             K = jnp.asarray(camera, jnp.float32)
             camera = Pinhole.from_K(K)
         if camera is not None and camera.params.shape[0] == 1 and B > 1:
-            camera = camera.replace(
-                params=jnp.broadcast_to(camera.params, (B, camera.params.shape[1]))
-            )
+            updates = {
+                "params": jnp.broadcast_to(camera.params, (B, camera.params.shape[1]))
+            }
+            if getattr(camera, "type_ids", None) is not None:
+                updates["type_ids"] = jnp.broadcast_to(camera.type_ids, (B,))
+            camera = camera.replace(**updates)
 
         pads, (padded_h, padded_w) = get_paddings(
             (H, W), self.shape_constraints["ratio_bounds"]
