@@ -156,11 +156,13 @@ def main():
     logger = MetricLogger(
         run_name=Path(args.config_file).stem, out_dir=args.checkpoint_dir, config=config
     )
+    from unidepth_tpu.datasets.loader import device_prefetch
+
     n_iters = args.steps or tr.get("n_iters", 300000)
     key = jax.random.key(args.seed)
     t0 = time.time()
-    for step, batch in zip(range(start_step, n_iters), loader):
-        batch = {k: jax.device_put(jnp.asarray(v), bshard) for k, v in batch.items()}
+    batches = device_prefetch(loader, bshard, size=2)
+    for step, batch in zip(range(start_step, n_iters), batches):
         state, metrics = step_fn(state, batch, jax.random.fold_in(key, step))
         if (step + 1) % 50 == 0 or step == start_step:
             m = {k: float(v) for k, v in metrics.items()}

@@ -173,3 +173,33 @@ class Loader:
 
     def close(self):
         self._stop.set()
+
+
+def device_prefetch(iterator, sharding, size: int = 2):
+    """Overlap host->device transfer with compute: keep ``size`` batches
+    in flight on device (the TPU analogue of DataLoader pin_memory +
+    non_blocking H2D, reference train.py:423-426)."""
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    queue = collections.deque()
+
+    def put(batch):
+        queue.append(
+            {k: jax.device_put(jnp.asarray(v), sharding) for k, v in batch.items()}
+        )
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            put(next(it))
+        for batch in it:
+            out = queue.popleft()
+            put(batch)
+            yield out
+    except StopIteration:
+        pass
+    while queue:
+        yield queue.popleft()

@@ -3,12 +3,13 @@ model + optimizer state + step counter), built on orbax.
 
 The reference never *writes* checkpoints in-loop (SURVEY.md §5); here
 training emits restartable snapshots — params, optimizer state, EMA
-shadow, and step — enabling elastic resume.
+shadow, and step. States are stored as flattened leaf lists and restored
+against the caller's template treedef, so NamedTuple/custom-node
+structures survive the round-trip.
 """
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import jax
@@ -24,16 +25,19 @@ def _ckptr():
 
 def save_checkpoint(directory: str, state, step: int) -> str:
     path = Path(directory).absolute() / f"step_{step:08d}"
-    _ckptr().save(path, {"state": jax.device_get(state._asdict()), "step": step}, force=True)
+    leaves = jax.tree.leaves(state)
+    _ckptr().save(
+        path,
+        {"leaves": [jax.device_get(x) for x in leaves], "step": step},
+        force=True,
+    )
     return str(path)
 
 
 def load_train_checkpoint(path: str, template):
     restored = _ckptr().restore(Path(path).absolute())
-    state_dict = restored["state"]
-    state = template._replace(
-        **{k: state_dict[k] for k in template._fields if k in state_dict}
-    )
+    treedef = jax.tree.structure(template)
+    state = jax.tree.unflatten(treedef, restored["leaves"])
     return state, int(restored["step"])
 
 
