@@ -135,3 +135,33 @@ def test_loader_yields_fixed_shape_batches():
     assert np.isfinite(batch["rays"]).all()
     shapes = sampler.shapes
     assert all(hh % 14 == 0 and ww % 14 == 0 for hh, ww in shapes)
+
+
+def test_context_crop_zoom_out_pads_validity(rng):
+    """ctx > 1 zooms out: the window exceeds the image and the borders
+    become invalid context (reference ContextCrop semantics)."""
+    from unidepth_tpu.datasets.pipelines import ContextCrop
+
+    h, w = 100, 150
+    sample = {
+        "image": rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
+        "depth": rng.uniform(1, 10, (h, w)).astype(np.float32),
+        "K": np.asarray([[100.0, 0, 75], [0, 100.0, 50], [0, 0, 1]], np.float32),
+        "validity": np.ones((h, w), bool),
+    }
+    crop = ContextCrop(image_shape=(56, 84), test_mode=True, test_context=1.44)
+    out = crop(dict(sample), np.random.default_rng(0))
+    assert out["image"].shape == (56, 84, 3)
+    v = out["validity"]
+    assert not v[0].all() or not v[:, 0].all()  # padded border exists
+    assert v[28, 42]  # center real
+    l, r, t, b = out["paddings"]
+    assert max(l, r, t, b) > 0
+
+    # ctx < 1 zooms in: fully inside, no padding
+    crop_in = ContextCrop(image_shape=(56, 84), test_mode=True, test_context=0.8)
+    out2 = crop_in(dict(sample), np.random.default_rng(0))
+    assert out2["validity"].all()
+    assert max(out2["paddings"]) == 0
+    # zoom-in means larger focal after rescale than zoom-out
+    assert out2["K"][0, 0] > out["K"][0, 0]

@@ -50,59 +50,125 @@ class Compose:
         return sample
 
 
+def _crop_with_padding(arr: np.ndarray, top: int, left: int, height: int, width: int, fill=0):
+    """Crop a window that may extend beyond the array; out-of-image regions
+    are filled (reference ContextCrop.crop, transforms.py:1181-1194)."""
+    h, w = arr.shape[:2]
+    out_shape = (height, width) + arr.shape[2:]
+    out = np.full(out_shape, fill, dtype=arr.dtype)
+    y0, y1 = max(top, 0), min(top + height, h)
+    x0, x1 = max(left, 0), min(left + width, w)
+    if y1 > y0 and x1 > x0:
+        out[y0 - top : y1 - top, x0 - left : x1 - left] = arr[y0:y1, x0:x1]
+    return out
+
+
 @dataclasses.dataclass
 class ContextCrop:
-    """Random (train) / centered (test) context crop + resize into the
-    target shape, updating the camera (reference transforms.py:1131-1355
-    behaviour: sample a crop of the source image whose aspect matches the
-    target, with scale jitter ``random_scale``, then resize)."""
+    """Context crop + resize into the target shape
+    (reference transforms.py:1131-1355):
+
+      * ``ctx`` >= 1 zooms OUT — the crop window is larger than the image
+        and the borders become padded/invalid context; ctx < 1 zooms in;
+      * the window matches the target aspect, stays (jittered-)centered,
+        and is retried with ``ctx *= 0.96`` until >=50% of the window is
+        real pixels and the implied FOV stays under 150 degrees;
+      * image resampled bicubic+antialias; depth/validity nearest (valid-
+        preserving); the camera is cropped then uniformly rescaled.
+    """
 
     image_shape: tuple[int, int]
-    train_ctx_range: tuple[float, float] = (0.66, 1.5)
+    train_ctx_range: tuple[float, float] = (0.5, 1.5)
     test_context: float = 1.0
     keep_original: bool = False
     test_mode: bool = False
+    shape_mult: int = 14
+    max_fov_deg: float = 150.0
+
+    def _crop_shapes(self, image_shape, target, ctx):
+        """(reference _get_crop_shapes, transforms.py:1211-1245)."""
+        h, w = image_shape
+        th, tw = target
+        input_ratio = w / h
+        output_ratio = tw / th
+        if output_ratio <= input_ratio:
+            if ctx >= 1:
+                new_w = w * ctx**0.5
+            elif output_ratio / input_ratio * ctx > 1:
+                new_w = w * ctx
+            else:
+                new_w = w * (ctx * output_ratio / input_ratio) ** 0.5
+            new_h = new_w / output_ratio
+        else:
+            if ctx >= 1:
+                new_h = h * ctx**0.5
+            elif input_ratio / output_ratio * ctx > 1:
+                new_h = h * ctx
+            else:
+                new_h = h * (ctx * input_ratio / output_ratio) ** 0.5
+            new_w = new_h * output_ratio
+        import math
+
+        return int(math.ceil(new_h - 0.5)), int(math.ceil(new_w - 0.5))
 
     def __call__(self, sample, rng: np.random.Generator, image_shape=None):
         h, w = sample["image"].shape[:2]
         # per-call shape override: the loader samples a global shape per
         # batch and worker threads must not mutate shared state
         th, tw = image_shape if image_shape is not None else self.image_shape
-        target_ratio = tw / th
-        # largest crop with the target aspect ratio that fits the source
-        crop_w = min(w, int(round(h * target_ratio)))
-        crop_h = min(h, int(round(crop_w / target_ratio)))
-        crop_w = int(round(crop_h * target_ratio))
-        if self.test_mode:
-            ctx = self.test_context
-        else:
-            ctx = float(rng.uniform(*self.train_ctx_range))
-        crop_h = min(h, max(8, int(round(crop_h / ctx))))
-        crop_w = min(w, max(8, int(round(crop_w / ctx))))
-        if self.test_mode:
-            top = (h - crop_h) // 2
-            left = (w - crop_w) // 2
-        else:
-            top = int(rng.integers(0, h - crop_h + 1))
-            left = int(rng.integers(0, w - crop_w + 1))
+        ctx = (
+            self.test_context
+            if self.test_mode
+            else float(rng.uniform(*self.train_ctx_range))
+        )
+        K = sample["K"]
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        max_fov = np.deg2rad(self.max_fov_deg)
 
-        scale_y = th / crop_h
-        scale_x = tw / crop_w
+        height = width = top = left = 0
+        for _ in range(100):
+            height, width = self._crop_shapes((h, w), (th, tw), ctx)
+            top = (h - height) // 2
+            left = (w - width) // 2
+            if not self.test_mode:
+                jit = self.shape_mult // 2
+                left += int(rng.integers(-jit, jit + 1))
+                top += int(rng.integers(-jit, jit + 1))
+            pad_l = max(-left, 0)
+            pad_t = max(-top, 0)
+            pad_r = max(left + width - w, 0)
+            pad_b = max(top + height - h, 0)
+            valid_area = (
+                h * w / (h + pad_t + pad_b) / (w + pad_l + pad_r)
+            )
+            new_hfov = 2.0 * np.arctan(cx / fx * width / w)
+            new_vfov = 2.0 * np.arctan(cy / fy * height / h)
+            if valid_area >= 0.5 and new_hfov < max_fov and new_vfov < max_fov:
+                break
+            ctx *= 0.96  # zoom in until enough real pixels / FOV ok
 
-        img = sample["image"][top : top + crop_h, left : left + crop_w]
-        sample["image"] = resize_image(img, (th, tw))
+        zoom = th / height
+
+        sample["image"] = resize_image(
+            _crop_with_padding(sample["image"], top, left, height, width),
+            (th, tw),
+            mode="bicubic",
+        )
         if "depth" in sample:
-            d = sample["depth"][top : top + crop_h, left : left + crop_w]
+            d = _crop_with_padding(sample["depth"], top, left, height, width)
             sample["depth"] = resize_depth(d, (th, tw))
-        if "validity" in sample:
-            v = sample["validity"][top : top + crop_h, left : left + crop_w]
-            sample["validity"] = resize_depth(v.astype(np.uint8), (th, tw)).astype(bool)
-        K = sample["K"].copy()
+        v = sample.get("validity", np.ones((h, w), bool))
+        v = _crop_with_padding(v.astype(np.uint8), top, left, height, width)
+        sample["validity"] = resize_depth(v, (th, tw)).astype(bool)
+
+        K = K.copy()
         K[0, 2] -= left
         K[1, 2] -= top
-        K[0] *= scale_x
-        K[1] *= scale_y
+        K[:2] *= zoom
         sample["K"] = K
+        sample["paddings"] = (
+            int(pad_l * zoom), int(pad_r * zoom), int(pad_t * zoom), int(pad_b * zoom)
+        )
         return sample
 
 
