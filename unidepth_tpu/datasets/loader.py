@@ -163,6 +163,11 @@ class Loader:
                 continue
 
     def __iter__(self):
+        if self.num_threads <= 0:
+            # deterministic single-thread mode: reproducible batch stream
+            rng = np.random.default_rng(self.seed)
+            while True:
+                yield self._make_batch(rng)
         if not self._threads:
             for t in range(self.num_threads):
                 th = threading.Thread(target=self._worker, args=(t,), daemon=True)
