@@ -149,6 +149,8 @@ class DinoViT(nn.Module):
     cfg: ViTConfig
     stacking: str = "last"
     attn_impl: str = "auto"  # 'auto' | 'flash' | 'xla'
+    remat: bool = True  # rematerialize blocks under grad (no fwd-only cost)
+    unroll: int = 1  # lax.scan unroll factor (XLA can pipeline across blocks)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -225,11 +227,13 @@ class DinoViT(nn.Module):
         for si in range(len(cfg.output_idx)):
             seg_len = boundaries[si + 1] - boundaries[si]
             collect_ys = self.stacking != "last"
+            block_cls = nn.remat(ViTBlock) if self.remat else ViTBlock
             Scanned = nn.scan(
-                nn.remat(ViTBlock),
+                block_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=seg_len,
+                unroll=self.unroll,
                 metadata_params={nn.meta.PARTITION_NAME: None},
             )
             x, ys = Scanned(

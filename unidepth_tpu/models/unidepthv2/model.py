@@ -105,8 +105,15 @@ class UniDepthV2:
             attn_impl = os.environ.get("UNIDEPTH_ATTN_IMPL", "auto")
         self.dtype = dtype
         self.encoder_cfg = encoder_cfg
+        import os as _os
+
         self.encoder = DinoViT(
-            cfg=encoder_cfg, stacking=stacking, attn_impl=attn_impl, dtype=dtype
+            cfg=encoder_cfg,
+            stacking=stacking,
+            attn_impl=attn_impl,
+            remat=_os.environ.get("UNIDEPTH_VIT_REMAT", "1") == "1",
+            unroll=int(_os.environ.get("UNIDEPTH_VIT_UNROLL", "1")),
+            dtype=dtype,
         )
         self.decoder = Decoder(
             input_dims=(encoder_cfg.embed_dim,) * 4,
