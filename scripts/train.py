@@ -76,12 +76,26 @@ def main():
     n_dev = len(jax.devices())
     print(f"devices: {n_dev}, mesh: {dict(mesh.shape)}")
 
-    model = UniDepthV2.from_config(config)
-    sc = model.shape_constraints
+    # Model family follows config model.name (reference train.py resolves the
+    # class by string): V1 is a fixed-image-shape model, V2 shape-bucketed.
+    model_name = config.get("model", {}).get("name", "UniDepthV2")
+    is_v1 = model_name == "UniDepthV1"
     mult = config["data"].get("augmentations", {}).get("shape_constraints", {}).get("shape_mult", 14)
     raw_shape = args.image_shape or config["data"].get("image_shape", (480, 640))
     image_shape = tuple((s // mult) * mult for s in raw_shape)
-    params = model.init_params(seed=args.seed, image_shape=(126, 126))
+    if is_v1:
+        from unidepth_tpu.models.unidepthv1.model import UniDepthV1
+
+        config = dict(config)
+        config.setdefault("data", {})
+        config["data"]["image_shape"] = list(image_shape)
+        model = UniDepthV1.from_config(config)
+        sc = None  # fixed shape: no per-batch shape sampling
+        params = model.init_params(seed=args.seed)
+    else:
+        model = UniDepthV2.from_config(config)
+        sc = model.shape_constraints
+        params = model.init_params(seed=args.seed, image_shape=(126, 126))
 
     opt = build_optimizer(
         params,
@@ -97,7 +111,12 @@ def main():
         clipping=tr.get("clipping", 1.0),
         cycle_betas=tr.get("cycle_beta", tr.get("cycle_betas", True)),
     )
-    init_state, train_step = make_train_step(model, opt, config)
+    if is_v1:
+        from unidepth_tpu.training.step import make_train_step_v1
+
+        init_state, train_step = make_train_step_v1(model, opt, config)
+    else:
+        init_state, train_step = make_train_step(model, opt, config)
     state = init_state(params)
     start_step = 0
     if args.resume:
@@ -138,7 +157,9 @@ def main():
                 "shape_mult": sc.get("shape_mult", 14),
             }
         )
-        if aug.get("shape_constraints", {}).get("sample", False) and not args.dummy_data
+        if sc is not None
+        and aug.get("shape_constraints", {}).get("sample", False)
+        and not args.dummy_data
         else None
     )
     loader = Loader(

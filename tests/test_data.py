@@ -119,6 +119,34 @@ def test_kitti_crop_and_garg_mask(rng):
     assert not m[:10].any() and m.sum() > 0
 
 
+def test_pano_crop_and_roll(rng):
+    from unidepth_tpu.datasets.pipelines import PanoCrop, PanoRoll
+
+    h, w = 100, 200
+    sample = {
+        "image": rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
+        "depth": rng.uniform(1, 5, (h, w)).astype(np.float32),
+        "K": np.asarray([[50.0, 0, 100.0], [0, 50.0, 50.0], [0, 0, 1]], np.float32),
+    }
+    out = PanoCrop(crop_v=0.1)(dict(sample), np.random.default_rng(0))
+    # 10 rows trimmed from each pole; principal point follows the crop
+    assert out["image"].shape == (80, w, 3) and out["depth"].shape == (80, w)
+    assert out["K"][1, 2] == 40.0
+
+    rolled = PanoRoll()(
+        {k: (v.copy() if hasattr(v, "copy") else v) for k, v in out.items()},
+        np.random.default_rng(3),
+    )
+    # a roll permutes columns: same multiset of pixels, same shape
+    assert rolled["image"].shape == out["image"].shape
+    assert np.array_equal(
+        np.sort(rolled["image"][40], axis=0), np.sort(out["image"][40], axis=0)
+    )
+    # test mode is a no-op
+    same = PanoRoll(test_mode=True)(dict(out), np.random.default_rng(3))
+    assert np.array_equal(same["image"], out["image"])
+
+
 def test_loader_yields_fixed_shape_batches():
     ds = WeightedConcat([Dummy(image_shape=(56, 70), length=32)])
     sampler = ShapeSampler(

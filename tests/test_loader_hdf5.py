@@ -58,3 +58,47 @@ def test_loader_over_hdf5_with_shape_sampling(tmp_path):
         assert (batch["K"][:, 0, 2] > 0).all() and (batch["K"][:, 0, 2] < w).all()
     loader.close()
     assert len(shapes) >= 1  # shape sampling produced consistent batches
+
+
+def test_spec_flags_and_pre_crop_flow_into_batches(tmp_path):
+    """Per-dataset annotation flags (si/ssi/dense/quality, reference
+    base_dataset.py:294-297) ride sample dicts into collated batches, and
+    ``pre_crop`` applies the fixed KITTI-style crop before the resizer
+    (reference kitti.py:92,131)."""
+    rng = np.random.default_rng(1)
+    with h5py.File(tmp_path / "fake.hdf5", "w") as f:
+        lines = []
+        for i in range(3):
+            img = rng.integers(0, 255, (90, 120, 3), dtype=np.uint8)
+            depth16 = rng.integers(500, 60000, (90, 120), dtype=np.uint16)
+            f.create_dataset(f"rgb/{i}.png", data=_png(img))
+            f.create_dataset(f"depth/{i}.png", data=_png(depth16, mode="I;16"))
+            lines.append(f"rgb/{i}.png depth/{i}.png")
+        f.create_dataset(
+            "train.txt", data=np.frombuffer(("\n".join(lines) + "\n").encode(), np.uint8)
+        )
+    spec = DatasetSpec(
+        name="FakeFlags", kind="image", min_depth=0.01, max_depth=80.0,
+        depth_scale=1000.0, hdf5_paths=("fake.hdf5",),
+        train_split="train.txt", test_split="train.txt",
+        si=True, ssi=False, dense=True, quality=2, pre_crop=(70, 100),
+    )
+    ds = HDF5Dataset(spec, data_root=str(tmp_path), image_shape=(56, 70))
+    sample = ds.get_single_item(0, np.random.default_rng(0))
+    assert sample["si"] is True and sample["dense"] is True
+    assert sample["quality"] == 2
+    loader = Loader(WeightedConcat([ds]), batch_size=2, num_threads=0)
+    batch = next(iter(loader))
+    assert batch["si"].tolist() == [1.0, 1.0]
+    assert batch["ssi"].tolist() == [0.0, 0.0]
+    assert batch["dense"].tolist() == [1.0, 1.0]
+    assert batch["quality"].tolist() == [2, 2]
+    loader.close()
+
+    # pre_crop geometry: cropping (90,120)->(70,100) keeps bottom rows,
+    # centers columns, and shifts the principal point accordingly.
+    raw = ds._read(0)
+    cropped = ds.pre_cropper(dict(raw), np.random.default_rng(0))
+    assert cropped["image"].shape[:2] == (70, 100)
+    assert cropped["K"][0, 2] == raw["K"][0, 2] - 10  # (120-100)//2
+    assert cropped["K"][1, 2] == raw["K"][1, 2] - 20  # 90-70

@@ -10,4 +10,4 @@ evaluation; and a data-parallel training stack — all redesigned for TPU
 
 __version__ = "0.1.0"
 
-from unidepth_tpu.models import UniDepthV1, UniDepthV2  # noqa: F401
+from unidepth_tpu.models import UniDepthV1, UniDepthV2, UniDepthV2old  # noqa: F401

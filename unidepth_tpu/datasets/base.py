@@ -24,6 +24,9 @@ from unidepth_tpu.datasets.pipelines import (
     Compose,
     ContextCrop,
     GaussianBlur,
+    KittiCrop,
+    PanoCrop,
+    PanoRoll,
     RandomColorJitter,
     RandomFlip,
     RandomGamma,
@@ -77,6 +80,17 @@ class HDF5Dataset:
             n = max(1, int(len(self.samples) * mini))
             self.samples = self.samples[:: max(1, len(self.samples) // n)]
         aug = augmentations or {}
+        # Fixed transforms applied before the resizer: the KITTI family's
+        # benchmark crop (reference kitti.py:92,131 and kitti_rmvd.py:56) or
+        # the panoramic pole-trim + roll (reference matterport3d.py:48).
+        if spec.pre_crop:
+            self.pre_cropper = KittiCrop(crop_size=spec.pre_crop)
+        elif spec.pano:
+            self.pre_cropper = Compose(
+                [PanoCrop(), PanoRoll(test_mode=test_mode)]
+            )
+        else:
+            self.pre_cropper = None
         self.resizer = ContextCrop(
             image_shape=self.image_shape,
             test_context=aug.get("test_context", 1.0),
@@ -162,7 +176,11 @@ class HDF5Dataset:
             "K": K,
             "validity": np.ones(depth.shape, bool),
             "flip": False,
-            "si": False,
+            "si": self.spec.si,
+            "ssi": self.spec.ssi,
+            "dense": self.spec.dense,
+            "synthetic": self.spec.synthetic,
+            "quality": self.spec.quality,
             "dataset": self.spec.name,
         }
 
@@ -170,6 +188,8 @@ class HDF5Dataset:
         self, idx: int, rng: np.random.Generator, image_shape=None
     ) -> dict:
         sample = self._read(idx)
+        if self.pre_cropper is not None:
+            sample = self.pre_cropper(sample, rng)
         sample = self.resizer(sample, rng, image_shape=image_shape)
         if np.count_nonzero(sample["depth"] > 0) < 50:
             raise IndexError("too few valid depth points")
@@ -190,7 +210,15 @@ class HDF5Dataset:
 
 
 def make_dataset(name: str, **kwargs) -> HDF5Dataset:
-    return HDF5Dataset(SPECS[name], **kwargs)
+    """Build the reader matching the spec's kind: sequence-kind specs get
+    the SequenceHDF5Dataset (sequences JSON, fps resampling), image-kind
+    specs the flat reader."""
+    spec = SPECS[name]
+    if spec.kind == "sequence":
+        from unidepth_tpu.datasets.sequence import SequenceHDF5Dataset
+
+        return SequenceHDF5Dataset(spec, **kwargs)
+    return HDF5Dataset(spec, **kwargs)
 
 
 def decode_flow(blob: bytes) -> tuple[np.ndarray, np.ndarray]:

@@ -102,6 +102,9 @@ def collate(samples: list[dict]) -> dict:
         "K": K,
         "rays": rays,
         "si": np.asarray([float(s.get("si", False)) for s in samples], np.float32),
+        "ssi": np.asarray([float(s.get("ssi", False)) for s in samples], np.float32),
+        "dense": np.asarray([float(s.get("dense", False)) for s in samples], np.float32),
+        "quality": np.asarray([int(s.get("quality", 0)) for s in samples], np.int32),
         "flips": np.asarray([bool(s.get("flip", False)) for s in samples]),
     }
 

@@ -260,6 +260,10 @@ class KittiCrop:
     def __call__(self, sample, rng):
         h, w = sample["image"].shape[:2]
         ch, cw = self.crop_size
+        if h < ch or w < cw:
+            raise ValueError(
+                f"KittiCrop: image ({h}, {w}) smaller than crop {self.crop_size}"
+            )
         top = h - ch
         left = (w - cw) // 2
         sample["image"] = sample["image"][top : top + ch, left : left + cw]
@@ -271,6 +275,47 @@ class KittiCrop:
         K[0, 2] -= left
         K[1, 2] -= top
         sample["K"] = K
+        return sample
+
+
+@dataclasses.dataclass
+class PanoCrop:
+    """Trim the polar bands of an equirectangular panorama: drop
+    ``crop_v * H`` rows from the top and bottom and shift the principal
+    point with the crop (reference transforms.py:15-55; composed before the
+    resizer by the panoramic datasets, e.g. matterport3d.py:48)."""
+
+    crop_v: float = 0.1
+
+    def __call__(self, sample, rng):
+        h = sample["image"].shape[0]
+        t = int(h * self.crop_v)
+        for k in ("image", "depth", "validity"):
+            if k in sample:
+                sample[k] = sample[k][t : h - t]
+        K = sample["K"].copy()
+        K[1, 2] -= t
+        sample["K"] = K
+        return sample
+
+
+@dataclasses.dataclass
+class PanoRoll:
+    """Random horizontal roll of a 360° panorama — a lossless augmentation
+    on equirectangular images (reference transforms.py:58-74). Train-time
+    only; the camera is unchanged (the roll is a yaw rotation)."""
+
+    roll: tuple[float, float] = (-0.5, 0.5)
+    test_mode: bool = False
+
+    def __call__(self, sample, rng):
+        if self.test_mode:
+            return sample
+        w = sample["image"].shape[1]
+        r = int(rng.integers(int(w * self.roll[0]), int(w * self.roll[1]) + 1))
+        for k in ("image", "depth", "validity"):
+            if k in sample:
+                sample[k] = np.roll(sample[k], r, axis=1)
         return sample
 
 

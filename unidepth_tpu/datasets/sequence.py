@@ -79,7 +79,11 @@ class SequenceHDF5Dataset(HDF5Dataset):
             "K": K,
             "validity": np.ones(image.shape[:2], bool),
             "flip": False,
-            "si": False,
+            "si": self.spec.si,
+            "ssi": self.spec.ssi,
+            "dense": self.spec.dense,
+            "synthetic": self.spec.synthetic,
+            "quality": self.spec.quality,
             "dataset": self.spec.name,
         }
         if depth is not None:
@@ -100,6 +104,8 @@ class SequenceHDF5Dataset(HDF5Dataset):
         for fi in idxs:
             meta = frames_meta[str(fi)] if isinstance(frames_meta, dict) else frames_meta[fi]
             s = self._read_frame(seq_name, meta)
+            if self.pre_cropper is not None:
+                s = self.pre_cropper(s, rng)
             s = self.resizer(s, rng, image_shape=image_shape)
             if "depth" in s and np.count_nonzero(s["depth"] > 0) < 50:
                 raise IndexError("too few valid depth points")

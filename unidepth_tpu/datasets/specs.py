@@ -30,6 +30,18 @@ class DatasetSpec:
     crop: str | None = None  # eval mask crop: None|'garg'|'eigen'
     benchmark_split: str | None = None
     intrinsics_table: str | None = None  # key into INTRINSICS_TABLES
+    pre_crop: tuple[int, int] | None = None  # fixed crop before resize (KITTI)
+    pano: bool = False  # equirectangular: PanoCrop+PanoRoll before resize
+    # Annotation flags (reference base_dataset.py:294-297 defaults, overridden
+    # per dataset in each module's pre_pipeline): si = metric scale unknown
+    # (scale-invariant supervision only), ssi = scale+shift unknown (relative
+    # depth), dense = dense GT, synthetic = rendered data, quality = noise
+    # tier (0 clean .. 2 noisy).
+    si: bool = False
+    ssi: bool = False
+    dense: bool = False
+    synthetic: bool = False
+    quality: int = 0
 
 
 # KITTI per-date intrinsics (reference kitti.py:14-50, first 3x3 block)
@@ -134,6 +146,94 @@ _ROWS = [
     ("WildRGBD", "sequence", 0.01, 10.0, 1000.0, ("WildRGBD.hdf5",), "train.txt", "train.txt", {}),
 ]
 
+# Per-dataset annotation flags: each entry transcribes that dataset module's
+# pre_pipeline overrides in the reference (e.g. dtu_rmvd.py:57-62,
+# hypersim.py, vkitti.py). Datasets absent here keep the base defaults
+# (si=False, ssi=False, dense=False, synthetic=False, quality=0).
+_d = dict
+_FLAGS: dict[str, dict] = {
+    "2D3DS": _d(dense=True, quality=1, pano=True),
+    "4DOR": _d(dense=True, quality=2),
+    "A2D2": _d(quality=1),
+    "ADT": _d(dense=True, synthetic=True),
+    "aiMotive": _d(quality=2),
+    "Argoverse2": _d(quality=1),
+    "ARKit": _d(dense=True, quality=2),
+    "ASE": _d(dense=True, synthetic=True),
+    "BDD": _d(si=True, quality=2),
+    "BEDLAM": _d(dense=True, synthetic=True),
+    "Behave": _d(dense=True, quality=1),
+    "BlendedMVG": _d(dense=True, quality=2),
+    "Cityscape": _d(quality=2),
+    "DDAD": _d(quality=1),
+    "Deep360": _d(dense=True, synthetic=True, pano=True),
+    "DENSE": _d(quality=1),
+    "DIML": _d(dense=True, quality=2),
+    "Diode": _d(dense=True, quality=1),
+    "DiodeIndoor": _d(dense=True, quality=1),
+    "DiodeIndoor_F": _d(dense=True, quality=1),
+    "DiodeOutdoor": _d(dense=True, quality=1),
+    "DL3DV": _d(si=True, quality=2),
+    "DrivingStereo": _d(quality=1),
+    "DTURMVD": _d(si=True, dense=True, quality=1),
+    "DynReplica": _d(dense=True, synthetic=True),
+    "EDEN": _d(dense=True, synthetic=True),
+    "ETH3D": _d(dense=True, quality=1),
+    "ETH3D_F": _d(dense=True, quality=1),
+    "FaceDepth": _d(dense=True, synthetic=True),
+    "FLSea": _d(dense=True, quality=2),
+    "FutureHouse": _d(dense=True, synthetic=True, pano=True),
+    "Gibson": _d(dense=True, quality=1, synthetic=True, pano=True),
+    "HAMMER": _d(dense=True, quality=1),
+    "HM3D": _d(dense=True, quality=2),
+    "HOI4D": _d(dense=True, quality=1),
+    "HRWSI": _d(ssi=True),
+    "HyperSim": _d(dense=True, synthetic=True),
+    "IBims": _d(dense=True, quality=1),
+    "IBims_F": _d(dense=True, quality=1),
+    "KenBurns": _d(dense=True, synthetic=True),
+    # KITTI composes a fixed 352x1216 benchmark crop before the resizer in
+    # train and test alike (reference kitti.py:92,131).
+    "KITTI": _d(quality=1, pre_crop=(352, 1216)),
+    "KITTI360": _d(quality=1),
+    "Mapillary": _d(si=True, quality=2),
+    "MatrixCity": _d(dense=True, synthetic=True),
+    "Matterport3D": _d(dense=True, quality=1, synthetic=True, pano=True),
+    "MegaDepth": _d(ssi=True),
+    "MegaDepthS": _d(si=True, quality=2),
+    "MidAir": _d(dense=True, synthetic=True),
+    "MIP": _d(si=True, dense=True, quality=2),
+    "MS2": _d(quality=1),
+    "MVImgNet": _d(si=True, quality=2),
+    "MVSynth": _d(si=True, dense=True, synthetic=True),
+    "NeRDS360": _d(dense=True, quality=1),
+    "NianticMapFree": _d(si=True, quality=2),
+    "Nuscenes": _d(quality=1),
+    "NYUv2Depth": _d(dense=True, quality=2),
+    "OASISv2": _d(ssi=True),
+    "PointOdyssey": _d(dense=True, synthetic=True),
+    "Proteus": _d(dense=True, synthetic=True),
+    "ScanNet": _d(dense=True, quality=1),
+    "ScanNetpp": _d(dense=True, quality=1),
+    "ScanNetpp_F": _d(dense=True, quality=1),
+    "Sintel": _d(dense=True, synthetic=True),
+    "Synscapes": _d(dense=True, synthetic=True),
+    "TartanAir": _d(dense=True, synthetic=True),
+    "Taskonomy": _d(dense=True, quality=2),
+    "TATRMVD": _d(si=True, quality=2),
+    "Theo": _d(dense=True, synthetic=True),
+    "UnrealStereo4K": _d(dense=True, synthetic=True),
+    "UrbanSyn": _d(dense=True, synthetic=True),
+    "VKITTI": _d(dense=True, synthetic=True),
+    "VOID": _d(dense=True, quality=2),
+    "Waymo": _d(quality=1),
+    "WildRGBD": _d(dense=True, quality=1),
+    # RMVD eval wrappers compose a fixed KITTI-benchmark crop before the
+    # resizer (reference kitti_rmvd.py:56 and kitti.py:92).
+    "KITTIRMVD": _d(pre_crop=(352, 1216), crop="garg"),
+}
+del _d
+
 SPECS: dict[str, DatasetSpec] = {
     name: DatasetSpec(
         name=name,
@@ -144,7 +244,7 @@ SPECS: dict[str, DatasetSpec] = {
         hdf5_paths=tuple(paths),
         train_split=train,
         test_split=test,
-        **extras,
+        **{**_FLAGS.get(name, {}), **extras},
     )
     for name, kind, mind, maxd, scale, paths, train, test, extras in _ROWS
 }

@@ -14,8 +14,7 @@ pos-embed interpolation), re-designed for XLA:
     (reference dinov2.py:267-304, antialias=False, interpolate_offset=0).
 
 Outputs: list of ``(B, h, w, C)`` feature maps and ``(B, 1, C)`` cls tokens,
-one per entry in ``output_idx`` when ``only_last_per_stage`` (the shipped
-"last" stacking), else one per block.
+one per entry in ``output_idx`` (see the ``stacking`` options on DinoViT).
 """
 
 from __future__ import annotations
