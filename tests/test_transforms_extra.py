@@ -10,11 +10,21 @@ import jax.numpy as jnp
 
 from unidepth_tpu.datasets.base import decode_flow
 from unidepth_tpu.datasets.pipelines import (
+    RandomAutoContrast,
+    RandomBrightness,
+    RandomColor,
+    RandomContrast,
     RandomEqualize,
     RandomFiller,
+    RandomInvert,
     RandomMasking,
     RandomPosterize,
+    RandomSaturation,
+    RandomSharpness,
+    RandomShear,
     RandomSolarize,
+    RandomTranslate,
+    Rotate,
     masked_nearest_fill,
 )
 from unidepth_tpu.nn.layers import drop_path
@@ -32,6 +42,47 @@ def test_photometric_transforms_apply(rng):
     for t in (RandomSolarize(prob=1.0), RandomPosterize(prob=1.0), RandomEqualize(prob=1.0)):
         s = t(_sample(rng), np.random.default_rng(0))
         assert s["image"].shape == (20, 24, 3) and s["image"].dtype == np.uint8
+
+
+def test_standalone_photometrics_apply(rng):
+    """The full photometric set (reference transforms.py:570-790) keeps
+    shape/dtype and changes pixels when prob=1."""
+    base = _sample(rng)
+    for t in (
+        RandomSaturation(prob=1.0),
+        RandomSharpness(prob=1.0),
+        RandomBrightness(prob=1.0),
+        RandomContrast(prob=1.0),
+        RandomColor(prob=1.0),
+        RandomInvert(prob=1.0),
+        RandomAutoContrast(prob=1.0),
+    ):
+        s = t({k: v.copy() for k, v in base.items()}, np.random.default_rng(7))
+        assert s["image"].shape == (20, 24, 3) and s["image"].dtype == np.uint8
+        assert not np.array_equal(s["image"], base["image"]), type(t).__name__
+
+
+def test_geometric_augmentations(rng):
+    """Rotate/Shear/Translate fill rotated-in borders with zeros in
+    depth/validity so they drop out of the loss (reference
+    transforms.py:501-960)."""
+    base = _sample(rng)
+    base["depth"] = np.full((20, 24), 3.0, np.float32)
+    r = Rotate(angle=25.0, prob=1.0)(
+        {k: v.copy() for k, v in base.items()}, np.random.default_rng(1)
+    )
+    assert r["image"].shape == (20, 24, 3)
+    assert (r["depth"] == 0).any() and not r["validity"].all()
+    assert abs(r["rotation"]) == 25.0
+
+    t = RandomTranslate(magnitude=0.25, prob=1.0)(
+        {k: v.copy() for k, v in base.items()}, np.random.default_rng(2)
+    )
+    assert (t["depth"] == 0).any()  # shifted-in border zero-filled
+    sh = RandomShear(magnitude=0.3, prob=1.0)(
+        {k: v.copy() for k, v in base.items()}, np.random.default_rng(3)
+    )
+    assert sh["depth"].shape == (20, 24)
 
 
 def test_random_masking_zeroes_patches(rng):

@@ -278,6 +278,218 @@ class KittiCrop:
         return sample
 
 
+_IMAGENET_FILL = (124, 116, 104)  # reference transforms.py:503 img_fill_val
+
+
+def _rotate_sample(sample, angle: float):
+    """Nearest-neighbour rotation of image (ImageNet-mean fill) and
+    depth/validity (zero fill), reference transforms.py:525-555."""
+    img = _to_pil(sample["image"]).rotate(
+        angle, resample=Image.NEAREST, fillcolor=_IMAGENET_FILL
+    )
+    sample["image"] = np.asarray(img)
+    for k in ("depth", "validity"):
+        if k in sample:
+            arr = sample[k]
+            rot = Image.fromarray(arr.astype(np.float32)).rotate(
+                angle, resample=Image.NEAREST, fillcolor=0.0
+            )
+            sample[k] = np.asarray(rot).astype(arr.dtype)
+    return sample
+
+
+@dataclasses.dataclass
+class Rotate:
+    """Random rotation by ±angle (or a uniform draw from a range); depth and
+    validity rotate with zero fill so rotated-in borders drop out of the
+    loss (reference transforms.py:501-568)."""
+
+    angle: float | tuple[float, float] = 5.0
+    prob: float = 0.5
+
+    def __call__(self, sample, rng):
+        if rng.random() > self.prob:
+            return sample
+        if isinstance(self.angle, (int, float)):
+            a = float(rng.choice([-1.0, 1.0])) * self.angle
+        else:
+            a = float(rng.uniform(self.angle[0], self.angle[1]))
+        sample = _rotate_sample(sample, a)
+        sample["rotation"] = a
+        return sample
+
+
+def _enhance(sample, enhancer, factor: float):
+    img = enhancer(_to_pil(sample["image"])).enhance(factor)
+    sample["image"] = np.asarray(img)
+    return sample
+
+
+@dataclasses.dataclass
+class _LevelPhotometric:
+    """Shared shape of the standalone photometric transforms: the level is
+    log2 of the enhancement factor (reference transforms.py:592-762 use
+    ``factor = 2 ** level``)."""
+
+    level: float | tuple[float, float] = (-0.5, 0.5)
+    prob: float = 0.5
+
+    def _factor(self, rng) -> float:
+        lv = (
+            float(rng.uniform(self.level[0], self.level[1]))
+            if not isinstance(self.level, (int, float))
+            else float(self.level)
+        )
+        return 2.0**lv
+
+
+class RandomSaturation(_LevelPhotometric):
+    def __call__(self, sample, rng):
+        if rng.random() > self.prob:
+            return sample
+        return _enhance(sample, ImageEnhance.Color, self._factor(rng))
+
+
+class RandomSharpness(_LevelPhotometric):
+    def __call__(self, sample, rng):
+        if rng.random() > self.prob:
+            return sample
+        return _enhance(sample, ImageEnhance.Sharpness, self._factor(rng))
+
+
+class RandomBrightness(_LevelPhotometric):
+    def __call__(self, sample, rng):
+        if rng.random() > self.prob:
+            return sample
+        return _enhance(sample, ImageEnhance.Brightness, self._factor(rng))
+
+
+class RandomContrast(_LevelPhotometric):
+    def __call__(self, sample, rng):
+        if rng.random() > self.prob:
+            return sample
+        return _enhance(sample, ImageEnhance.Contrast, self._factor(rng))
+
+
+@dataclasses.dataclass
+class RandomColor:
+    """Random hue rotation: ``level`` is the fraction of the full hue cycle,
+    as in torchvision's adjust_hue (reference transforms.py:570-589)."""
+
+    level: float | tuple[float, float] = (-0.05, 0.05)
+    prob: float = 0.5
+
+    def __call__(self, sample, rng):
+        if rng.random() > self.prob:
+            return sample
+        f = (
+            float(rng.uniform(self.level[0], self.level[1]))
+            if not isinstance(self.level, (int, float))
+            else float(self.level)
+        )
+        hsv = np.asarray(_to_pil(sample["image"]).convert("HSV")).copy()
+        hsv[..., 0] = (hsv[..., 0].astype(np.int16) + int(f * 255)) % 256
+        sample["image"] = np.asarray(Image.fromarray(hsv, "HSV").convert("RGB"))
+        return sample
+
+
+@dataclasses.dataclass
+class RandomInvert:
+    """Invert pixel values (reference transforms.py:764-775)."""
+
+    prob: float = 0.5
+
+    def __call__(self, sample, rng):
+        if rng.random() > self.prob:
+            return sample
+        sample["image"] = 255 - sample["image"]
+        return sample
+
+
+@dataclasses.dataclass
+class RandomAutoContrast:
+    """Per-channel histogram stretch (reference transforms.py:777-790)."""
+
+    prob: float = 0.5
+
+    def __call__(self, sample, rng):
+        if rng.random() > self.prob:
+            return sample
+        sample["image"] = np.asarray(ImageOps.autocontrast(_to_pil(sample["image"])))
+        return sample
+
+
+@dataclasses.dataclass
+class RandomShear:
+    """Random horizontal/vertical shear; image gets ImageNet-mean fill,
+    depth/validity zero fill (reference transforms.py:793-863)."""
+
+    magnitude: float | tuple[float, float] = (-0.2, 0.2)
+    prob: float = 0.5
+    horizontal: bool = True
+
+    def __call__(self, sample, rng):
+        if rng.random() > self.prob:
+            return sample
+        m = (
+            float(rng.uniform(self.magnitude[0], self.magnitude[1]))
+            if not isinstance(self.magnitude, (int, float))
+            else float(self.magnitude) * float(rng.choice([-1.0, 1.0]))
+        )
+        coeffs = (1, m, 0, 0, 1, 0) if self.horizontal else (1, 0, 0, m, 1, 0)
+        h, w = sample["image"].shape[:2]
+        img = _to_pil(sample["image"]).transform(
+            (w, h), Image.AFFINE, coeffs, resample=Image.NEAREST,
+            fillcolor=_IMAGENET_FILL,
+        )
+        sample["image"] = np.asarray(img)
+        for k in ("depth", "validity"):
+            if k in sample:
+                arr = sample[k]
+                t = Image.fromarray(arr.astype(np.float32)).transform(
+                    (w, h), Image.AFFINE, coeffs, resample=Image.NEAREST, fillcolor=0.0
+                )
+                sample[k] = np.asarray(t).astype(arr.dtype)
+        return sample
+
+
+@dataclasses.dataclass
+class RandomTranslate:
+    """Random pixel shift by a fraction of the image size; shifted-in
+    borders are filled (image: ImageNet mean, depth/validity: 0), reference
+    transforms.py:866-960."""
+
+    magnitude: float | tuple[float, float] = (-0.1, 0.1)
+    prob: float = 0.5
+    horizontal: bool = True
+
+    def __call__(self, sample, rng):
+        if rng.random() > self.prob:
+            return sample
+        m = (
+            float(rng.uniform(self.magnitude[0], self.magnitude[1]))
+            if not isinstance(self.magnitude, (int, float))
+            else float(self.magnitude) * float(rng.choice([-1.0, 1.0]))
+        )
+        h, w = sample["image"].shape[:2]
+        dx = int(m * w) if self.horizontal else 0
+        dy = 0 if self.horizontal else int(m * h)
+        coeffs = (1, 0, -dx, 0, 1, -dy)
+        img = _to_pil(sample["image"]).transform(
+            (w, h), Image.AFFINE, coeffs, resample=Image.NEAREST,
+            fillcolor=_IMAGENET_FILL,
+        )
+        sample["image"] = np.asarray(img)
+        for k in ("depth", "validity"):
+            if k in sample:
+                arr = sample[k]
+                t = Image.fromarray(arr.astype(np.float32)).transform(
+                    (w, h), Image.AFFINE, coeffs, resample=Image.NEAREST, fillcolor=0.0
+                )
+                sample[k] = np.asarray(t).astype(arr.dtype)
+        return sample
+
+
 @dataclasses.dataclass
 class PanoCrop:
     """Trim the polar bands of an equirectangular panorama: drop
