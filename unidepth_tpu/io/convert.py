@@ -289,10 +289,49 @@ def convert_v1_decoder(sd: dict, num_resolutions: int = 4) -> dict:
     return p
 
 
+def normalize_convnext_state_dict(sd: Mapping) -> dict:
+    """Accept any of the three ConvNeXt checkpoint layouts in the wild and
+    return timm-layout keys (behavioral parity with reference
+    backbones/convnext.py:512-563 checkpoint_filter_fn):
+
+      * timm:  ``stem.0 / stages.{s}.blocks.{j}.conv_dw`` — passthrough;
+      * CLIP (open_clip, laion): image tower under ``visual.trunk.`` —
+        stripped, heads dropped;
+      * FB (facebookresearch releases, possibly under a ``model`` wrapper):
+        ``downsample_layers.{s} / stages.{s}.{j}.dwconv/pwconv/grn``.
+    """
+    import re
+
+    if "model" in sd and isinstance(sd["model"], Mapping):
+        sd = sd["model"]
+    if any(k.startswith("visual.trunk.") for k in sd):
+        sd = {
+            k[len("visual.trunk.") :]: v
+            for k, v in sd.items()
+            if k.startswith("visual.trunk.")
+        }
+    if "stem.0.weight" in sd or "norm_pre.weight" in sd:
+        # timm layout; fold convnextv2 'mlp.grn.*' into the 'grn.*' names
+        # the converter reads
+        return {k.replace(".mlp.grn.", ".grn."): v for k, v in sd.items()}
+    out = {}
+    for k, v in sd.items():
+        k = k.replace("downsample_layers.0.", "stem.")
+        k = re.sub(r"stages\.(\d+)\.(\d+)\.", r"stages.\1.blocks.\2.", k)
+        k = re.sub(r"downsample_layers\.(\d+)\.(\d+)\.", r"stages.\1.downsample.\2.", k)
+        k = k.replace(".dwconv.", ".conv_dw.")
+        k = k.replace(".pwconv1.", ".mlp.fc1.").replace(".pwconv2.", ".mlp.fc2.")
+        k = k.replace(".grn.beta", ".grn.bias").replace(".grn.gamma", ".grn.weight")
+        out[k] = v
+    return out
+
+
 def convert_convnext(sd: dict, depths=(3, 3, 27, 3)) -> dict:
-    """timm-style ConvNeXt weights -> ConvNeXt params
+    """timm/FB/CLIP ConvNeXt weights -> ConvNeXt params
     (reference backbones/convnext.py naming: stem.0/1, stages.{s}.downsample,
-    stages.{s}.blocks.{j}.{conv_dw,norm,mlp.fc1,mlp.fc2,gamma})."""
+    stages.{s}.blocks.{j}.{conv_dw,norm,mlp.fc1,mlp.fc2,gamma}; non-timm
+    layouts normalized first, reference convnext.py:512)."""
+    sd = normalize_convnext_state_dict(sd)
     p = {
         "stem_conv": {
             "kernel": torch_conv(sd["stem.0.weight"]),
