@@ -42,6 +42,19 @@ def main():
         help="force a jax platform (e.g. 'cpu'); needed because this "
         "container pre-imports jax with JAX_PLATFORMS=axon",
     )
+    ap.add_argument(
+        "--val-interval",
+        type=int,
+        default=None,
+        help="validate every N steps (default: training.validation_interval "
+        "from the config; 0 disables)",
+    )
+    ap.add_argument(
+        "--val-iters",
+        type=int,
+        default=25,
+        help="max batches per val dataset per validation pass",
+    )
     args = ap.parse_args()
 
     import jax
@@ -177,6 +190,46 @@ def main():
     logger = MetricLogger(
         run_name=Path(args.config_file).stem, out_dir=args.checkpoint_dir, config=config
     )
+
+    # periodic validation under EMA params (reference train.py:163-175,
+    # 474-475 validates under ema_handle.average_parameters())
+    from unidepth_tpu.datasets.loader import collate
+    from unidepth_tpu.datasets.samplers import ShardedEvalSampler
+    from unidepth_tpu.utils.validation import validate
+
+    val_interval = (
+        args.val_interval
+        if args.val_interval is not None
+        else tr.get("validation_interval", 0)
+    )
+    val_names = config["data"].get("val_datasets", [])
+
+    def _val_loaders():
+        names = val_names if (val_names and not args.dummy_data) else ["Dummy"]
+        out = {}
+        for name in names:
+            if name == "Dummy" or args.dummy_data:
+                ds = Dummy(image_shape=image_shape, length=2 * local_bs)
+            else:
+                ds = make_dataset(
+                    name,
+                    data_root=args.data_root,
+                    test_mode=True,
+                    image_shape=image_shape,
+                )
+
+            def gen(ds=ds):
+                batch = []
+                for i in ShardedEvalSampler(
+                    len(ds), jax.process_count(), jax.process_index()
+                ):
+                    batch.append(ds[i])
+                    if len(batch) == local_bs:
+                        yield collate(batch)
+                        batch = []
+
+            out[name] = gen()
+        return out
     from unidepth_tpu.datasets.loader import device_prefetch
 
     n_iters = args.steps or tr.get("n_iters", 300000)
@@ -198,6 +251,21 @@ def main():
             )
         if (step + 1) % tr.get("checkpoint_interval", 10000) == 0:
             save_checkpoint(args.checkpoint_dir, state, step + 1)
+        if val_interval and (step + 1) % val_interval == 0:
+            results = validate(
+                model, state.ema.shadow, _val_loaders(), max_iters=args.val_iters
+            )
+            for name, metrics in results.items():
+                logger.log(
+                    {f"{name}/{k}": float(v) for k, v in metrics.items()},
+                    step + 1,
+                    prefix="val",
+                )
+                shown = sorted(metrics.items())[:6]
+                print(
+                    f"val[{name}] step {step + 1}: "
+                    + " ".join(f"{k}={float(v):.4f}" for k, v in shown)
+                )
     loader.close()
     save_checkpoint(args.checkpoint_dir, state, n_iters)
     print("done")

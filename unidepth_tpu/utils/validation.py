@@ -53,19 +53,26 @@ class MetricAccumulator:
 
 def validate(model, params, val_loaders: dict, max_iters: int | None = None) -> dict:
     """val_loaders: {name: iterable of collated numpy batches}. Returns
-    {dataset: {metric: value}}."""
+    {dataset: {metric: value}}.
+
+    The forward pass runs under jit (one compile per batch shape): eager
+    op-by-op dispatch is unusable on remote/tunneled accelerators.
+    """
+    fwd = jax.jit(
+        lambda p, img, rays: model.encode_decode(p, img, rays_gt=rays)["depth"]
+    )
     results = {}
     for name, loader in val_loaders.items():
         acc = MetricAccumulator(name)
         for i, batch in enumerate(loader):
             if max_iters is not None and i >= max_iters:
                 break
-            out = model.encode_decode(
-                params, jnp.asarray(batch["image"]), rays_gt=jnp.asarray(batch["rays"])
+            depth = fwd(
+                params, jnp.asarray(batch["image"]), jnp.asarray(batch["rays"])
             )
             acc.accumulate(
                 jnp.asarray(batch["depth"]),
-                out["depth"],
+                depth,
                 jnp.asarray(batch["depth_mask"]),
             )
         results[name] = acc.get_evaluation()
