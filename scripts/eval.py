@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--max-iters", type=int, default=None)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--dummy-data", action="store_true")
+    ap.add_argument(
+        "--eval-3d",
+        action="store_true",
+        help="also compute Chamfer distance + F1-AUC on unprojected points",
+    )
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -83,7 +88,19 @@ def main():
 
         loaders[name] = loader()
 
-    results = validate(model, model.params, loaders, max_iters=args.max_iters)
+    from unidepth_tpu.datasets.specs import SPECS
+
+    ranges = {
+        n: (SPECS[n].min_depth, SPECS[n].max_depth) for n in loaders if n in SPECS
+    }
+    results = validate(
+        model,
+        model.params,
+        loaders,
+        max_iters=args.max_iters,
+        with_3d=args.eval_3d,
+        depth_ranges=ranges,
+    )
     for name, metrics in results.items():
         print(f"\n== {name} ==")
         for k in sorted(metrics):

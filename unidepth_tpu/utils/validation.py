@@ -29,12 +29,23 @@ class MetricAccumulator:
         self.max_depth = max_depth
         self._values: dict[str, list[np.ndarray]] = defaultdict(list)
 
-    def accumulate(self, depth_gt, depth_pred, mask, points_gt=None, points_pred=None, thresholds=None):
+    def accumulate(
+        self,
+        depth_gt,
+        depth_pred,
+        mask,
+        points_gt=None,
+        points_pred=None,
+        thresholds=None,
+        mask3d=None,
+    ):
         metrics = eval_depth(depth_gt, depth_pred, mask, max_depth=self.max_depth)
         for k, v in metrics.items():
             self._values[k].append(np.asarray(v))
         if points_gt is not None and points_pred is not None:
-            m3 = eval_3d(points_gt, points_pred, mask, thresholds)
+            m3 = eval_3d(
+                points_gt, points_pred, mask if mask3d is None else mask3d, thresholds
+            )
             for k, v in m3.items():
                 self._values[k].append(np.asarray(v))
 
@@ -51,29 +62,67 @@ class MetricAccumulator:
         return out
 
 
-def validate(model, params, val_loaders: dict, max_iters: int | None = None) -> dict:
+def validate(
+    model,
+    params,
+    val_loaders: dict,
+    max_iters: int | None = None,
+    with_3d: bool = False,
+    depth_ranges: dict | None = None,
+) -> dict:
     """val_loaders: {name: iterable of collated numpy batches}. Returns
     {dataset: {metric: value}}.
 
     The forward pass runs under jit (one compile per batch shape): eager
     op-by-op dispatch is unusable on remote/tunneled accelerators.
+
+    ``with_3d`` adds Chamfer distance + F1-AUC over 100 log-spaced
+    thresholds between the dataset's min_depth and max_depth/20 (reference
+    base_dataset.py:237-242); points are depth unprojected along the GT
+    rays (pred rays when the model outputs them). Point clouds larger than
+    240x320 are strided down first, the analogue of the reference's
+    nearest resize OOM guard (evaluation_depth.py:154-161).
     """
-    fwd = jax.jit(
-        lambda p, img, rays: model.encode_decode(p, img, rays_gt=rays)["depth"]
-    )
+    fwd = jax.jit(lambda p, img, rays: model.encode_decode(p, img, rays_gt=rays))
     results = {}
     for name, loader in val_loaders.items():
         acc = MetricAccumulator(name)
+        dmin, dmax = (depth_ranges or {}).get(name, (0.01, 80.0))
+        thresholds = jnp.exp(
+            jnp.linspace(float(np.log(dmin)), float(np.log(dmax / 20.0)), 100)
+        )
         for i, batch in enumerate(loader):
             if max_iters is not None and i >= max_iters:
                 break
-            depth = fwd(
-                params, jnp.asarray(batch["image"]), jnp.asarray(batch["rays"])
-            )
+            out = fwd(params, jnp.asarray(batch["image"]), jnp.asarray(batch["rays"]))
+            depth = out["depth"]
+            kwargs = {}
+            if with_3d:
+                b, h, w = depth.shape[:3]
+                s = max(1, int(np.ceil((h * w / (240.0 * 320.0)) ** 0.5)))
+                gt_d = jnp.asarray(batch["depth"])[:, ::s, ::s]
+                pr_d = depth[:, ::s, ::s]
+                rays_gt = jnp.asarray(batch["rays"]).reshape(b, h, w, 3)[:, ::s, ::s]
+                rz = jnp.clip(jnp.abs(rays_gt[..., 2:3]), 1e-5)
+                pts_gt = rays_gt / rz * gt_d
+                rays_pr = out.get("rays")
+                if rays_pr is not None:
+                    rays_pr = rays_pr.reshape(b, h, w, 3)[:, ::s, ::s]
+                    rzp = jnp.clip(jnp.abs(rays_pr[..., 2:3]), 1e-5)
+                    pts_pr = rays_pr / rzp * pr_d
+                else:
+                    pts_pr = rays_gt / rz * pr_d
+                kwargs = dict(
+                    points_gt=pts_gt,
+                    points_pred=pts_pr,
+                    thresholds=thresholds,
+                )
+                kwargs["mask3d"] = jnp.asarray(batch["depth_mask"])[:, ::s, ::s]
             acc.accumulate(
                 jnp.asarray(batch["depth"]),
                 depth,
                 jnp.asarray(batch["depth_mask"]),
+                **kwargs,
             )
         results[name] = acc.get_evaluation()
     return results
