@@ -91,9 +91,32 @@ def collate(samples: list[dict]) -> dict:
         ..., None
     ].astype(np.float32)
     K = np.stack([s["K"] for s in samples]).astype(np.float32)
-    rays = np.asarray(
-        Pinhole.from_K(K).get_rays(h, w)
-    ).reshape(len(samples), h * w, 3)
+    models = [s.get("camera_model", "Pinhole") for s in samples]
+    if all(m == "Pinhole" for m in models):
+        rays = np.asarray(
+            Pinhole.from_K(K).get_rays(h, w)
+        ).reshape(len(samples), h * w, 3)
+    else:
+        # distorted / panoramic cameras: rebuild each camera from its params
+        # vector, which the pipeline keeps in sync with every crop/resize
+        # (pipelines.update_camera_params); heterogeneous batches dispatch
+        # through BatchCamera's lax.switch
+        from unidepth_tpu.geometry.cameras import CAMERA_TYPE_IDS, BatchCamera
+
+        pv = np.zeros((len(samples), 16), np.float32)
+        tids = np.zeros(len(samples), np.int32)
+        for i, s in enumerate(samples):
+            cp = np.asarray(
+                s.get(
+                    "camera_params",
+                    [K[i, 0, 0], K[i, 1, 1], K[i, 0, 2], K[i, 1, 2]],
+                ),
+                np.float32,
+            )
+            pv[i, : cp.shape[0]] = cp
+            tids[i] = CAMERA_TYPE_IDS[models[i]]
+        cam = BatchCamera(params=pv, type_ids=tids)
+        rays = np.asarray(cam.get_rays(h, w)).reshape(len(samples), h * w, 3)
     return {
         "image": imgs,
         "depth": depth,

@@ -166,10 +166,48 @@ class ContextCrop:
         K[1, 2] -= top
         K[:2] *= zoom
         sample["K"] = K
+        update_camera_params(
+            sample,
+            crop=(left, top, w - (left + width), h - (top + height)),
+            factor=zoom,
+        )
         sample["paddings"] = (
             int(pad_l * zoom), int(pad_r * zoom), int(pad_t * zoom), int(pad_b * zoom)
         )
         return sample
+
+
+def update_camera_params(sample, *, crop=None, factor=None, flip_w=None):
+    """Keep a full camera parameter vector in sync with the pipeline's K
+    edits (samples from datasets with distorted/panoramic cameras carry
+    ``camera_params``/``camera_model``). Generic models shift/scale
+    params[:4] exactly like CameraBase.crop/resize; Spherical additionally
+    tracks W/H/hfov/vfov (geometry/cameras.py Spherical.crop/resize,
+    reference utils/camera.py:331-409).
+
+    crop = (left, top, right, bottom) in current pixels; factor = isotropic
+    resize factor; flip_w = image width for a horizontal flip.
+    """
+    cp = sample.get("camera_params")
+    if cp is None:
+        return
+    cp = cp.copy()
+    spherical = sample.get("camera_model") == "Spherical"
+    if crop is not None:
+        left, top, right, bottom = crop
+        cp[2] -= left
+        cp[3] -= top
+        if spherical and cp.shape[0] >= 8:
+            W, H = cp[4], cp[5]
+            cp[6] *= (W - left - right) / W
+            cp[7] *= (H - top - bottom) / H
+            cp[4] -= left + right
+            cp[5] -= top + bottom
+    if factor is not None:
+        cp[: 6 if spherical else 4] *= factor
+    if flip_w is not None:
+        cp[2] = flip_w - cp[2]
+    sample["camera_params"] = cp
 
 
 @dataclasses.dataclass
@@ -186,6 +224,7 @@ class RandomFlip:
             K = sample["K"].copy()
             K[0, 2] = sample["image"].shape[1] - K[0, 2]
             sample["K"] = K
+            update_camera_params(sample, flip_w=sample["image"].shape[1])
             sample["flip"] = not sample.get("flip", False)
         return sample
 
@@ -275,6 +314,9 @@ class KittiCrop:
         K[0, 2] -= left
         K[1, 2] -= top
         sample["K"] = K
+        update_camera_params(
+            sample, crop=(left, top, w - (left + cw), h - (top + ch))
+        )
         return sample
 
 
@@ -508,6 +550,7 @@ class PanoCrop:
         K = sample["K"].copy()
         K[1, 2] -= t
         sample["K"] = K
+        update_camera_params(sample, crop=(0, t, 0, t))
         return sample
 
 

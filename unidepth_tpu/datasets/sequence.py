@@ -71,9 +71,19 @@ class SequenceHDF5Dataset(HDF5Dataset):
                 depth = decode_depth(
                     np.array(f["/" + frame["depth"]]).tobytes(), self.spec.depth_scale
                 )
-        K = np.asarray(frame["K"], np.float32) if "K" in frame else self._default_K()
-        if K.shape == (4, 4):
-            K = K[:3, :3]
+        if "camera_params" in frame:
+            # full camera model: params vector (fx, fy, cx, cy, distortion...)
+            # + model name (reference sequence_dataset.py:26 'camera_params'
+            # -> utils_decode.decode_camera builds e.g. Fisheye624/EUCM)
+            cp = np.asarray(frame["camera_params"], np.float32).reshape(-1)
+            K = np.asarray(
+                [[cp[0], 0, cp[2]], [0, cp[1], cp[3]], [0, 0, 1]], np.float32
+            )
+        else:
+            cp = None
+            K = np.asarray(frame["K"], np.float32) if "K" in frame else self._default_K()
+            if K.shape == (4, 4):
+                K = K[:3, :3]
         out = {
             "image": image,
             "K": K,
@@ -88,6 +98,9 @@ class SequenceHDF5Dataset(HDF5Dataset):
         }
         if depth is not None:
             out["depth"] = depth
+        if cp is not None:
+            out["camera_params"] = cp
+            out["camera_model"] = frame.get("camera_model", "Pinhole")
         if "cam2w" in frame:
             out["cam2w"] = np.asarray(frame["cam2w"], np.float32)
         return out

@@ -414,6 +414,7 @@ class MEI(CameraBase):
 
 _CAMERA_TYPES = [Pinhole, EUCM, Spherical, OpenCV, Fisheye624, MEI]
 _CAMERA_TYPE_IDS = {cls.__name__: i for i, cls in enumerate(_CAMERA_TYPES)}
+CAMERA_TYPE_IDS = _CAMERA_TYPE_IDS  # public: name -> BatchCamera type id
 
 
 class BatchCamera(CameraBase):
