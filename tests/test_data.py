@@ -119,6 +119,32 @@ def test_kitti_crop_and_garg_mask(rng):
     assert not m[:10].any() and m.sum() > 0
 
 
+def test_context_crop_carries_points_and_flow(rng):
+    """Optional dense maps (3D point maps, 12-bit flow) ride through
+    ContextCrop: points like depth, flow scaled by the zoom (reference
+    sequence_dataset.py DECODE_FNS fields)."""
+    from unidepth_tpu.datasets.pipelines import ContextCrop
+
+    h, w = 70, 84
+    sample = {
+        "image": rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
+        "depth": rng.uniform(1, 5, (h, w)).astype(np.float32),
+        "K": np.asarray([[60.0, 0, 42.0], [0, 60.0, 35.0], [0, 0, 1]], np.float32),
+        "points": rng.standard_normal((h, w, 3)).astype(np.float32),
+        "flow_fwd": np.full((h, w, 2), 10.0, np.float32),
+        "flow_fwd_mask": np.ones((h, w), bool),
+    }
+    out = ContextCrop(image_shape=(56, 70), test_mode=True)(
+        dict(sample), np.random.default_rng(0)
+    )
+    assert out["points"].shape == (56, 70, 3)
+    assert out["flow_fwd"].shape == (56, 70, 2)
+    assert out["flow_fwd_mask"].shape == (56, 70)
+    # zoom = 56 / crop_height; flow magnitude scales with it
+    zoom = out["K"][0, 0] / sample["K"][0, 0]
+    np.testing.assert_allclose(out["flow_fwd"][5, 5], 10.0 * zoom, rtol=1e-5)
+
+
 def test_pano_crop_and_roll(rng):
     from unidepth_tpu.datasets.pipelines import PanoCrop, PanoRoll
 

@@ -221,12 +221,75 @@ def make_dataset(name: str, **kwargs) -> HDF5Dataset:
     return HDF5Dataset(spec, **kwargs)
 
 
+def _decode_png16_rgb(blob: bytes) -> np.ndarray:
+    """Decode a 16-bit-per-channel RGB PNG to (H, W, 3) uint16.
+
+    PIL silently downcasts 16-bit color PNGs to 8 bits, which destroys the
+    12-bit flow payload — so the IDAT stream is unfiltered by hand (spec
+    filters 0-4; no interlace)."""
+    import struct
+    import zlib
+
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, idat, w = 8, b"", 0
+    h = bitdepth = color = 0
+    while pos < len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, bitdepth, color = struct.unpack(">IIBB", data[:10])
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    assert bitdepth == 16 and color == 2, (bitdepth, color)
+    raw = zlib.decompress(idat)
+    stride = w * 6  # 3 channels x 2 bytes
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint16)
+    bpp = 6
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], np.uint8
+        ).astype(np.uint16)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need a left-to-right scan
+            cur = np.zeros(stride, np.uint16)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = int(a) + int(b) - int(c)
+                    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pr) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, 3, 2).astype(np.uint16)[..., 0] * 256 + out.reshape(
+        h, w, 3, 2
+    ).astype(np.uint16)[..., 1]
+
+
 def decode_flow(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     """16-bit PNG optical flow: channels 0/1 carry (u, v) packed as
     (value / 2^4 - 2^11) twelve-bit fixed point; channel 2 is validity
     (reference datasets/utils_decode.py:100-122). Returns (flow (H,W,2),
     valid (H,W) bool)."""
-    img = np.asarray(Image.open(io.BytesIO(blob))).astype(np.float64)
+    if blob[:8] == b"\x89PNG\r\n\x1a\n" and blob[24] == 16 and blob[25] == 2:
+        img = _decode_png16_rgb(blob).astype(np.float64)
+    else:
+        img = np.asarray(Image.open(io.BytesIO(blob))).astype(np.float64)
     flow = (img[..., :2] / 2.0**4) - 2.0**11
     valid = img[..., 2] > 0 if img.shape[-1] > 2 else np.ones(img.shape[:2], bool)
     return flow.astype(np.float32), valid

@@ -40,6 +40,16 @@ def resize_depth(depth: np.ndarray, size: tuple[int, int]) -> np.ndarray:
     return resize_image(depth, size, mode="nearest")
 
 
+def resize_nearest_nd(arr: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Nearest resize for (H, W, C) float maps PIL can't hold (points,
+    flow): pixel-center index gather."""
+    h, w = arr.shape[:2]
+    th, tw = size
+    ri = np.clip(((np.arange(th) + 0.5) * h / th).astype(int), 0, h - 1)
+    ci = np.clip(((np.arange(tw) + 0.5) * w / tw).astype(int), 0, w - 1)
+    return arr[ri][:, ci]
+
+
 @dataclasses.dataclass
 class Compose:
     transforms: Sequence
@@ -160,6 +170,21 @@ class ContextCrop:
         v = sample.get("validity", np.ones((h, w), bool))
         v = _crop_with_padding(v.astype(np.uint8), top, left, height, width)
         sample["validity"] = resize_depth(v, (th, tw)).astype(bool)
+        # optional dense maps: 3D point maps ride like depth; flow vectors
+        # additionally scale with the zoom (pixel displacements)
+        if "points" in sample:
+            p = _crop_with_padding(sample["points"], top, left, height, width)
+            sample["points"] = resize_nearest_nd(p, (th, tw))
+        for fk in ("flow_fwd", "flow_bwd"):
+            if fk in sample:
+                fl = _crop_with_padding(sample[fk], top, left, height, width)
+                sample[fk] = resize_nearest_nd(fl, (th, tw)) * (th / height)
+            mk = fk + "_mask"
+            if mk in sample:
+                m = _crop_with_padding(
+                    sample[mk].astype(np.uint8), top, left, height, width
+                )
+                sample[mk] = resize_depth(m, (th, tw)).astype(bool)
 
         K = K.copy()
         K[0, 2] -= left

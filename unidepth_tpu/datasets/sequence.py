@@ -16,7 +16,12 @@ from typing import Any
 
 import numpy as np
 
-from unidepth_tpu.datasets.base import HDF5Dataset, decode_depth, decode_rgb
+from unidepth_tpu.datasets.base import (
+    HDF5Dataset,
+    decode_depth,
+    decode_flow,
+    decode_rgb,
+)
 from unidepth_tpu.datasets.specs import SPECS, DatasetSpec
 
 
@@ -64,6 +69,7 @@ class SequenceHDF5Dataset(HDF5Dataset):
         return [min(n - 1, start + int(round(stride * i))) for i in range(self.num_frames)]
 
     def _read_frame(self, seq_name: str, frame: dict, chunk: int = 0) -> dict:
+        points = flow_fwd = flow_bwd = None
         with self._h5(chunk) as f:
             image = decode_rgb(np.array(f["/" + frame["image"]]).tobytes())
             depth = None
@@ -71,6 +77,14 @@ class SequenceHDF5Dataset(HDF5Dataset):
                 depth = decode_depth(
                     np.array(f["/" + frame["depth"]]).tobytes(), self.spec.depth_scale
                 )
+            # optional per-frame fields (reference sequence_dataset.py:22-33
+            # DECODE_FNS: points raw numpy nodes, 12-bit packed flow PNGs)
+            if "points" in frame:
+                points = np.array(f["/" + frame["points"]], np.float32)
+            if "flow_fwd" in frame:
+                flow_fwd = decode_flow(np.array(f["/" + frame["flow_fwd"]]).tobytes())
+            if "flow_bwd" in frame:
+                flow_bwd = decode_flow(np.array(f["/" + frame["flow_bwd"]]).tobytes())
         if "camera_params" in frame:
             # full camera model: params vector (fx, fy, cx, cy, distortion...)
             # + model name (reference sequence_dataset.py:26 'camera_params'
@@ -103,6 +117,12 @@ class SequenceHDF5Dataset(HDF5Dataset):
             out["camera_model"] = frame.get("camera_model", "Pinhole")
         if "cam2w" in frame:
             out["cam2w"] = np.asarray(frame["cam2w"], np.float32)
+        if points is not None:
+            out["points"] = points
+        if flow_fwd is not None:
+            out["flow_fwd"], out["flow_fwd_mask"] = flow_fwd
+        if flow_bwd is not None:
+            out["flow_bwd"], out["flow_bwd_mask"] = flow_bwd
         return out
 
     def get_single_item(
