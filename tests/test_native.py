@@ -42,3 +42,19 @@ def test_fallback_paths(rng, monkeypatch):
     monkeypatch.setattr(native, "_TRIED", True)
     slow = native.unpack24_scale(img, 1000.0)
     np.testing.assert_allclose(fast, slow, rtol=1e-6)
+
+
+def test_png_unfilter_c_matches_numpy(rng, monkeypatch):
+    """All five PNG filter types reconstruct identically in C and numpy."""
+    h, stride, bpp = 9, 30, 6
+    rows = []
+    for y in range(h):
+        rows.append(
+            bytes([y % 5]) + rng.integers(0, 256, stride, dtype=np.uint8).tobytes()
+        )
+    raw = b"".join(rows)
+    fast = native.png_unfilter(raw, h, stride, bpp)
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", True)
+    slow = native.png_unfilter(raw, h, stride, bpp)
+    assert np.array_equal(fast, slow)

@@ -245,40 +245,13 @@ def _decode_png16_rgb(blob: bytes) -> np.ndarray:
             break
         pos += 12 + length
     assert bitdepth == 16 and color == 2, (bitdepth, color)
+    from unidepth_tpu import native
+
     raw = zlib.decompress(idat)
     stride = w * 6  # 3 channels x 2 bytes
-    out = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint16)
-    bpp = 6
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], np.uint8
-        ).astype(np.uint16)
-        if f == 0:
-            cur = line
-        elif f == 2:  # Up
-            cur = (line + prev) & 0xFF
-        else:  # Sub / Average / Paeth need a left-to-right scan
-            cur = np.zeros(stride, np.uint16)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                if f == 1:
-                    cur[x] = (line[x] + a) & 0xFF
-                elif f == 3:
-                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
-                else:  # Paeth
-                    c = prev[x - bpp] if x >= bpp else 0
-                    p = int(a) + int(b) - int(c)
-                    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
-                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[x] = (line[x] + pr) & 0xFF
-        out[y] = cur.astype(np.uint8)
-        prev = cur
-    return out.reshape(h, w, 3, 2).astype(np.uint16)[..., 0] * 256 + out.reshape(
-        h, w, 3, 2
-    ).astype(np.uint16)[..., 1]
+    out = native.png_unfilter(raw, h, stride, bpp=6)
+    hi = out.reshape(h, w, 3, 2).astype(np.uint16)
+    return hi[..., 0] * 256 + hi[..., 1]
 
 
 def decode_flow(blob: bytes) -> tuple[np.ndarray, np.ndarray]:

@@ -58,6 +58,13 @@ def _build() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.png_unfilter.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
         globals()["_LIB"] = lib
         return lib
     except Exception:
@@ -114,4 +121,48 @@ def normalize_u8(img: np.ndarray, mean, std) -> np.ndarray:
         _ptr(img, ctypes.c_uint8), _ptr(out, ctypes.c_float),
         img.shape[0] * img.shape[1], _ptr(m, ctypes.c_float), _ptr(si, ctypes.c_float),
     )
+    return out
+
+
+def png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct PNG scanlines (filters 0-4) -> (h, stride) uint8.
+    Numpy fallback vectorizes filters 0/2 and scans Sub/Average/Paeth."""
+    lib = _build()
+    if lib is not None:
+        src = np.frombuffer(raw, np.uint8, count=h * (stride + 1))
+        src = np.ascontiguousarray(src)
+        out = np.empty((h, stride), np.uint8)
+        lib.png_unfilter(
+            _ptr(src, ctypes.c_uint8), _ptr(out, ctypes.c_uint8),
+            h, stride, bpp,
+        )
+        return out
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], np.uint8
+        ).astype(np.uint16)
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = (line + prev) & 0xFF
+        else:
+            cur = np.zeros(stride, np.uint16)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = int(a) + int(b) - int(c)
+                    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pr) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
     return out

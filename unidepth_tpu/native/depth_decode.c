@@ -40,3 +40,39 @@ void normalize_u8(const uint8_t *in, float *out, int64_t npx,
         o[2] = ((float)px[2] / 255.0f - mean[2]) * std_inv[2];
     }
 }
+
+/* PNG scanline unfilter (spec filters 0-4) for arbitrary bytes-per-pixel.
+ * raw: h * (1 + stride) filtered bytes (leading filter byte per row);
+ * out: h * stride reconstructed bytes. Needed for 16-bit RGB flow PNGs,
+ * which PIL silently downcasts to 8 bits. */
+void png_unfilter(const uint8_t *raw, uint8_t *out, int64_t h, int64_t stride,
+                  int bpp) {
+    for (int64_t y = 0; y < h; ++y) {
+        const uint8_t *line = raw + y * (stride + 1);
+        uint8_t f = line[0];
+        const uint8_t *src = line + 1;
+        uint8_t *cur = out + y * stride;
+        const uint8_t *prev = y > 0 ? out + (y - 1) * stride : 0;
+        for (int64_t x = 0; x < stride; ++x) {
+            int a = x >= bpp ? cur[x - bpp] : 0;
+            int b = prev ? prev[x] : 0;
+            int c = (prev && x >= bpp) ? prev[x - bpp] : 0;
+            int v = src[x];
+            switch (f) {
+            case 1: v += a; break;
+            case 2: v += b; break;
+            case 3: v += (a + b) >> 1; break;
+            case 4: {
+                int p = a + b - c;
+                int pa = p > a ? p - a : a - p;
+                int pb = p > b ? p - b : b - p;
+                int pc = p > c ? p - c : c - p;
+                v += (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+                break;
+            }
+            default: break;
+            }
+            cur[x] = (uint8_t)v;
+        }
+    }
+}
