@@ -59,6 +59,23 @@ def test_infer_output_contract(tiny_model):
     )
 
 
+def test_infer_outputs_filter(tiny_model):
+    """Requesting a subset returns only those keys with identical values
+    (XLA DCE's the dropped heads; numerics of kept outputs unchanged)."""
+    rgb = np.random.default_rng(1).integers(0, 255, (1, 56, 84, 3), dtype=np.uint8)
+    full = tiny_model.infer(rgb)
+    sub = tiny_model.infer(rgb, outputs=("depth", "intrinsics"))
+    assert set(sub) == {"depth", "intrinsics"}
+    np.testing.assert_allclose(np.asarray(sub["depth"]), np.asarray(full["depth"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sub["intrinsics"]), np.asarray(full["intrinsics"]), rtol=1e-6
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown infer outputs"):
+        tiny_model.infer(rgb, outputs=("depht",))
+
+
 def test_infer_channel_first_and_3d_input(tiny_model):
     rgb = np.random.default_rng(1).integers(0, 255, (3, 60, 90), dtype=np.uint8)
     out = tiny_model.infer(rgb)

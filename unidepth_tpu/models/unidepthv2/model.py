@@ -236,7 +236,7 @@ class UniDepthV2:
         """Build + cache the jitted end-to-end program for one shape bucket."""
         if shape_key in self._jit_cache:
             return self._jit_cache[shape_key]
-        (H, W, pads, padded, new_hw, factor, has_camera, normalize) = shape_key
+        (H, W, pads, padded, new_hw, factor, has_camera, normalize, outputs) = shape_key
         pl, pr, pt, pb = pads
         padded_h, padded_w = padded
         new_h, new_w = new_hw
@@ -294,7 +294,7 @@ class UniDepthV2:
             K = K * scale_mat  # fx, fy, cx, cy de-scaled
             K = K.at[:, 0, 2].add(-pl).at[:, 1, 2].add(-pt)
 
-            return {
+            res = {
                 "depth": points_full[..., 2:3],
                 "points": points_full,
                 "rays": rays_full,
@@ -303,6 +303,12 @@ class UniDepthV2:
                 "intrinsics": K,
                 "depth_features": out["depth_features"],
             }
+            if outputs is not None:
+                # returning a subset lets XLA dead-code-eliminate unused
+                # heads — dropping 'confidence' removes its whole 518px
+                # conv chain (~10% of the serving program, docs/PERF.md)
+                res = {k: res[k] for k in outputs}
+            return res
 
         fn = jax.jit(run)
         self._jit_cache[shape_key] = fn
@@ -408,12 +414,23 @@ class UniDepthV2:
     # ------------------------------------------------------------------
     # public inference API
     # ------------------------------------------------------------------
+    INFER_OUTPUTS = (
+        "depth",
+        "points",
+        "rays",
+        "confidence",
+        "radius",
+        "intrinsics",
+        "depth_features",
+    )
+
     def infer(
         self,
         rgb,
         camera=None,
         normalize: bool = True,
         compile_granularity: str = "full",
+        outputs: tuple | list | None = None,
     ) -> dict:
         """rgb: (H,W,3) | (B,H,W,3) channel-last, or (3,H,W) | (B,3,H,W)
         channel-first; uint8 or float. camera: Pinhole/`CameraBase`, or a
@@ -423,7 +440,12 @@ class UniDepthV2:
         compile_granularity: 'full' fuses the whole pipeline into one XLA
         program per input shape (fastest steady-state); 'core' compiles the
         expensive network once per *resolution bucket* and pre/post per
-        input shape (fast warm-up when serving many input sizes)."""
+        input shape (fast warm-up when serving many input sizes).
+
+        outputs: optional subset of INFER_OUTPUTS to return ('full' mode
+        only). XLA dead-code-eliminates the heads feeding dropped keys —
+        e.g. omitting 'confidence' removes its high-res conv chain (~10%
+        of the serving program)."""
         rgb = np.asarray(rgb) if not isinstance(rgb, jnp.ndarray) else rgb
         if rgb.ndim == 3:
             rgb = rgb[None]
@@ -456,6 +478,14 @@ class UniDepthV2:
                 rgb, camera, normalize, pads, (padded_h, padded_w),
                 (new_h, new_w), factor,
             )
+        out_key = None
+        if outputs is not None:
+            bad = set(outputs) - set(self.INFER_OUTPUTS)
+            if bad:
+                raise ValueError(
+                    f"unknown infer outputs {sorted(bad)}; valid: {self.INFER_OUTPUTS}"
+                )
+            out_key = tuple(sorted(set(outputs)))
         key = (
             H,
             W,
@@ -465,6 +495,7 @@ class UniDepthV2:
             factor,
             camera is not None,
             normalize,
+            out_key,
         )
         fn = self._infer_fn(key)
         return fn(self._serving_params(), rgb, camera)
