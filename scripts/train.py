@@ -75,7 +75,7 @@ def main():
         initialize_distributed,
         make_mesh,
         fsdp_param_sharding,
-        replicated,
+        check_batch_divisibility,
     )
     from unidepth_tpu.training.optim import build_optimizer
     from unidepth_tpu.training.step import make_train_step
@@ -136,18 +136,23 @@ def main():
         state, start_step = load_train_checkpoint(args.resume, state)
         print(f"resumed from {args.resume} at step {start_step}")
 
-    pspec = fsdp_param_sharding(mesh, state.params)
+    # params, Adam moments, and the EMA shadow all use the shape-driven
+    # fsdp spec, so mu/nu/shadow land on the same layout as their param.
     state = state._replace(
-        params=jax.device_put(state.params, pspec),
-        opt_state=jax.device_put(state.opt_state, replicated(mesh)),
-        ema=jax.device_put(state.ema, replicated(mesh)),
+        params=jax.device_put(state.params, fsdp_param_sharding(mesh, state.params)),
+        opt_state=jax.device_put(
+            state.opt_state, fsdp_param_sharding(mesh, state.opt_state)
+        ),
+        ema=jax.device_put(state.ema, fsdp_param_sharding(mesh, state.ema)),
     )
     step_fn = jax.jit(train_step, donate_argnums=(0,))
 
-    # data
+    # data — fail fast on indivisible batch configs instead of deep inside
+    # XLA: the P(None, ("data","fsdp")) batch sharding needs local_bs % n_dev
+    # == 0, and the global batch must split evenly across processes.
     batch_size = tr.get("batch_size", 8)
     accum = tr.get("nsteps_accumulation_gradient", 1)
-    local_bs = max(batch_size // jax.process_count(), n_dev)
+    local_bs = check_batch_divisibility(batch_size, jax.process_count(), n_dev)
     aug = config["data"].get("augmentations", {})
     if args.dummy_data:
         datasets = [Dummy(image_shape=image_shape, length=1024)]

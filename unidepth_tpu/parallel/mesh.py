@@ -25,16 +25,57 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "fsdp_param_sharding",
+    "check_batch_divisibility",
 ]
 
 
+def check_batch_divisibility(batch_size: int, n_proc: int, n_dev: int) -> int:
+    """Validate the global batch against the process/device topology and
+    return the per-process batch. Fails fast at startup instead of deep
+    inside XLA when the P(None, ("data", "fsdp")) batch sharding would not
+    divide evenly."""
+    if batch_size % n_proc != 0:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by process_count {n_proc}"
+        )
+    local_bs = max(batch_size // n_proc, n_dev)
+    if local_bs % n_dev != 0:
+        raise ValueError(
+            f"per-process batch {local_bs} not divisible by {n_dev} local "
+            f"devices; pick batch_size so that batch_size/process_count is "
+            f"a multiple of the device count"
+        )
+    return local_bs
+
+
 def initialize_distributed(**kwargs) -> None:
-    """Multi-host rendezvous (replaces dist.init_process_group('nccl'))."""
-    if jax.process_count() == 1:
-        try:
-            jax.distributed.initialize(**kwargs)
-        except Exception:
-            pass  # single-process: nothing to do
+    """Multi-host rendezvous (replaces dist.init_process_group('nccl')).
+
+    No-op for plain single-process runs. When a multi-process launch is
+    requested — explicit kwargs or cluster env vars present — failures
+    propagate, so a misconfigured job fails fast instead of silently
+    degrading to N independent single-host runs.
+    """
+    import os
+
+    wants_cluster = (
+        bool(kwargs)
+        or any(
+            os.environ.get(v)
+            for v in (
+                "JAX_COORDINATOR_ADDRESS",
+                "COORDINATOR_ADDRESS",
+                "SLURM_JOB_ID",
+                "OMPI_COMM_WORLD_SIZE",
+            )
+        )
+        # single-worker tunnels set this to one hostname; only a multi-worker
+        # list means a real cluster
+        or "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    )
+    if not wants_cluster:
+        return
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(data: int | None = None, fsdp: int = 1, devices=None) -> Mesh:
@@ -57,8 +98,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def fsdp_param_sharding(mesh: Mesh, params):
-    """Shard each parameter's largest axis over the fsdp axis when it
-    divides evenly; replicate otherwise (simple ZeRO-3-style layout)."""
+    """Shard each leaf's largest axis over the fsdp axis when it divides
+    evenly; replicate otherwise (simple ZeRO-3-style layout).
+
+    The spec is purely shape-driven, so applying this to the optimizer
+    state and EMA shadow gives Adam mu/nu and the shadow the *same* layout
+    as their parameter — apply it to the whole TrainState, not just
+    params, or the fsdp axis saves negative memory (moments are ~2x param
+    bytes)."""
     fsdp = mesh.shape["fsdp"]
 
     def spec(x):

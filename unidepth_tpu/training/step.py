@@ -81,10 +81,13 @@ def compute_losses_v2(losses: dict, outputs: dict, batch: dict, rng) -> dict:
     return out
 
 
-def make_train_step(model, optimizer, config: dict):
-    """Returns (init_state, train_step). ``model`` is a UniDepthV2 wrapper
-    (uses its encoder/decoder modules functionally)."""
+def make_train_step(model, optimizer, config: dict, recipe=None):
+    """Returns (init_state, train_step). ``model`` is a UniDepthV1/V2
+    wrapper (its encoder/decoder modules are used functionally);
+    ``recipe`` maps (losses, outputs, batch, rng) -> loss dict and defaults
+    to the V2 slot recipe."""
     losses = build_losses(config)
+    recipe = recipe or compute_losses_v2
     ema_cfg = dict(
         decay=1.0 - (1.0 - 0.9995) * 10,  # update-every-10 equivalent decay
         update_after_step=config["training"].get("warmup_iters", 75000) // 10,
@@ -92,11 +95,10 @@ def make_train_step(model, optimizer, config: dict):
     )
 
     def loss_fn(params, batch, rng):
-        h, w = batch["image"].shape[1:3]
         outputs = model.encode_decode(
             params, batch["image"], rays_gt=batch.get("rays")
         )
-        ldict = compute_losses_v2(losses, outputs, batch, rng)
+        ldict = recipe(losses, outputs, batch, rng)
         return ldict["total"], ldict
 
     def init_state(params) -> TrainState:
@@ -175,51 +177,5 @@ def compute_losses_v1(losses: dict, outputs: dict, batch: dict, rng) -> dict:
 
 
 def make_train_step_v1(model, optimizer, config: dict):
-    """V1 variant of make_train_step (same state/optimizer machinery)."""
-    losses = build_losses(config)
-    ema_cfg = dict(
-        decay=1.0 - (1.0 - 0.9995) * 10,
-        update_after_step=config["training"].get("warmup_iters", 75000) // 10,
-        tau=20000,
-    )
-
-    def loss_fn(params, batch, rng):
-        outputs = model.encode_decode(
-            params, batch["image"], rays_gt=batch.get("rays")
-        )
-        ldict = compute_losses_v1(losses, outputs, batch, rng)
-        return ldict["total"], ldict
-
-    def init_state(params) -> TrainState:
-        return TrainState(
-            params=params,
-            opt_state=optimizer.init(params),
-            ema=ema_init(params),
-            step=jnp.zeros((), jnp.int32),
-        )
-
-    def train_step(state: TrainState, batch: dict, rng):
-        grad_fn = jax.grad(loss_fn, has_aux=True)
-
-        def micro(grads_acc, inp):
-            mb, key = inp
-            grads, ldict = grad_fn(state.params, mb, key)
-            return jax.tree.map(jnp.add, grads_acc, grads), ldict
-
-        accum = jax.tree.leaves(batch)[0].shape[0]
-        keys = jax.random.split(rng, accum)
-        zeros = jax.tree.map(jnp.zeros_like, state.params)
-        grads, ldicts = jax.lax.scan(micro, zeros, (batch, keys), length=accum)
-        ldict = jax.tree.map(lambda x: x.mean(), ldicts)
-        grads = jax.tree.map(lambda g: g / accum, grads)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = jax.tree.map(jnp.add, state.params, updates)
-        ema = ema_update(state.ema, params, **ema_cfg)
-        new_state = TrainState(
-            params=params, opt_state=opt_state, ema=ema, step=state.step + 1
-        )
-        metrics = dict(ldict)
-        metrics["grad_norm"] = optax_global_norm(grads)
-        return new_state, metrics
-
-    return init_state, train_step
+    """V1 variant of make_train_step: same machinery, V1 loss recipe."""
+    return make_train_step(model, optimizer, config, recipe=compute_losses_v1)
