@@ -1,4 +1,8 @@
-"""Benchmark: UniDepthV2 ViT-L/14 518x518 inference throughput per chip.
+"""Benchmark: UniDepthV2 ViT-L/14 518x518 full-pipeline inference
+throughput per chip — the documented serving configuration: the jitted
+``infer()`` program ('full' granularity, depth-only outputs), i.e.
+normalize/pad/resize + encoder + decoder + postprocess in one XLA program
+(models/unidepthv2/model.py:_build_run).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -37,7 +41,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from unidepth_tpu.models.unidepthv2.model import UniDepthV2
+    from unidepth_tpu.models.unidepthv2.model import UniDepthV2, get_paddings, get_resize_factor
 
     warnings.filterwarnings("ignore")
     cfg = json.loads(open("configs/config_v2_vitl14.json").read())
@@ -49,13 +53,24 @@ def main():
         np.random.default_rng(0).standard_normal((B, H, W, 3)), jnp.float32
     )
 
+    # The serving shape bucket infer() would select for this input
+    # (resolution_level unset -> full pixel bounds), depth-only outputs.
+    pads, padded = get_paddings((H, W), model.shape_constraints["ratio_bounds"])
+    factor, new_hw = get_resize_factor(
+        padded,
+        (model.shape_constraints["pixels_min"], model.shape_constraints["pixels_max"]),
+        model.shape_constraints["shape_mult"],
+    )
+    key = (H, W, pads, padded, new_hw, factor, False, True, ("depth",))
+    run = model._build_run(key)
+
     N = 10
 
     @jax.jit
     def bench_fn(params, x):
         def body(_, carry):
             x_i, acc = carry
-            out = model.encode_decode(params, x_i)
+            out = run(params, x_i, None)
             s = jnp.mean(out["depth"]) * 1e-12  # chain dependency
             return (x_i + s, acc + s)
 
@@ -73,12 +88,12 @@ def main():
     dt = time.perf_counter() - t0
     ips = B * N / dt
 
-    tokens = (H // 14) * (W // 14)
+    tokens = (new_hw[0] // 14) * (new_hw[1] // 14)
     target = _roofline_target(tokens)
     print(
         json.dumps(
             {
-                "metric": "unidepthv2_vitl14_518px_infer",
+                "metric": "unidepthv2_vitl14_518px_full_infer",
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / target, 4),

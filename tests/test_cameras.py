@@ -119,3 +119,76 @@ def test_batch_camera_heterogeneous():
     ray_eucm = eucm.get_rays(8, 10)
     np.testing.assert_allclose(np.asarray(rays[0]), np.asarray(ray_pin[0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(rays[1]), np.asarray(ray_eucm[0]), atol=1e-5)
+
+
+def test_batch_camera_mixed_affine_dispatch():
+    """crop/resize/flip on a mixed Pinhole+Spherical batch must apply each
+    member's own semantics (reference utils/camera.py:331-409 Spherical vs
+    :115-130 base): sphere W/H/hfov/vfov update, pinhole cx/cy shift."""
+    pin = _pinhole(1)
+    # (fx, fy, cx, cy, W, H, hfov/2, vfov/2)
+    sph = Spherical(
+        params=jnp.asarray([[64.0, 64.0, 160.0, 120.0, 320.0, 240.0, np.pi, np.pi / 2]])
+    )
+    batch = BatchCamera.concat([pin, sph])
+
+    cropped = batch.crop(10.0, 6.0, 4.0, 2.0)
+    pin_c = pin.crop(10.0, 6.0, 4.0, 2.0)
+    sph_c = sph.crop(10.0, 6.0, 4.0, 2.0)
+    np.testing.assert_allclose(
+        np.asarray(cropped.params[0, :4]), np.asarray(pin_c.params[0]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(cropped.params[1, :8]), np.asarray(sph_c.params[0]), rtol=1e-6
+    )
+
+    resized = batch.resize(0.5)
+    sph_r = sph.resize(0.5)
+    pin_r = pin.resize(0.5)
+    np.testing.assert_allclose(
+        np.asarray(resized.params[0, :4]), np.asarray(pin_r.params[0]), rtol=1e-6
+    )
+    # Spherical scales W/H (cols 4, 5) too; the base affine would leave them
+    np.testing.assert_allclose(
+        np.asarray(resized.params[1, :8]), np.asarray(sph_r.params[0]), rtol=1e-6
+    )
+    assert float(resized.params[1, 4]) == 160.0  # W rescaled, not corrupted
+
+    flipped = batch.flip(240, 320)
+    np.testing.assert_allclose(
+        np.asarray(flipped.params[0, :4]),
+        np.asarray(pin.flip(240, 320).params[0]),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(flipped.params[1, :8]),
+        np.asarray(sph.flip(240, 320).params[0]),
+        rtol=1e-6,
+    )
+
+    # hfov/vfov dispatch: spherical reads params[..., 6:8], base arctan form
+    np.testing.assert_allclose(float(batch.hfov[1]), float(sph.hfov[0]), rtol=1e-6)
+    np.testing.assert_allclose(float(batch.hfov[0]), float(pin.hfov[0]), rtol=1e-6)
+    np.testing.assert_allclose(float(batch.vfov[1]), float(sph.vfov[0]), rtol=1e-6)
+
+
+def test_batch_camera_affine_matches_sequential_crop_resize():
+    """The infer preprocessing chain camera.crop(-pl, -pt).resize(f) on a
+    mixed batch equals each member's own chained ops (the data-pipeline
+    pattern, datasets/pipelines.py ContextCrop)."""
+    pin = _pinhole(1)
+    sph = Spherical(
+        params=jnp.asarray([[64.0, 64.0, 160.0, 120.0, 320.0, 240.0, np.pi, np.pi / 2]])
+    )
+    batch = BatchCamera.concat([pin, sph])
+    out = batch.crop(-3.0, -5.0).resize(2.0)
+    np.testing.assert_allclose(
+        np.asarray(out.params[0, :4]),
+        np.asarray(pin.crop(-3.0, -5.0).resize(2.0).params[0]),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.params[1, :8]),
+        np.asarray(sph.crop(-3.0, -5.0).resize(2.0).params[0]),
+        rtol=1e-6,
+    )

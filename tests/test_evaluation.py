@@ -69,3 +69,50 @@ def test_eval_3d_perfect_prediction(rng):
     # reference F1-AUC normalizes trapz by len(thresholds)
     # (evaluation_depth.py:90-91): perfect score is (T-1)/T.
     np.testing.assert_allclose(float(out["F1"][0]), 9.0 / 10.0, atol=1e-3)
+
+
+def test_knn_points_general_k_matches_numpy(rng):
+    """K in {1, 3, 8} with variable lengths vs a brute-force numpy reference
+    (reference ops/knn/functions/knn.py:113 knn_points semantics: ascending
+    sq-dists, padded queries zeroed)."""
+    from unidepth_tpu.ops.knn import knn_gather, knn_points
+
+    B, P1, P2, D = 2, 57, 83, 3
+    x = rng.standard_normal((B, P1, D)).astype(np.float32)
+    y = rng.standard_normal((B, P2, D)).astype(np.float32)
+    len1 = np.array([P1, 41])
+    len2 = np.array([P2, 29])
+    xv = np.arange(P1)[None, :] < len1[:, None]
+    yv = np.arange(P2)[None, :] < len2[:, None]
+
+    for K in (1, 3, 8):
+        d2, idx = knn_points(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(xv), jnp.asarray(yv), k=K
+        )
+        d2, idx = np.asarray(d2), np.asarray(idx)
+        assert d2.shape == (B, P1, K) and idx.shape == (B, P1, K)
+        for b in range(B):
+            full = ((x[b, :, None, :] - y[b, None, :, :]) ** 2).sum(-1)
+            full[:, ~yv[b]] = np.inf
+            order = np.argsort(full, axis=-1, kind="stable")[:, :K]
+            ref_d = np.take_along_axis(full, order, axis=-1)
+            for i in range(P1):
+                if not xv[b, i]:
+                    assert np.all(d2[b, i] == 0.0)
+                    continue
+                np.testing.assert_allclose(d2[b, i], ref_d[i], rtol=1e-4, atol=1e-5)
+                # indices must point at equally-near neighbors (ties may
+                # reorder between top_k and argsort)
+                np.testing.assert_allclose(
+                    ((x[b, i] - y[b][idx[b, i]]) ** 2).sum(-1),
+                    ref_d[i],
+                    rtol=1e-4,
+                    atol=1e-5,
+                )
+
+        gathered = np.asarray(
+            knn_gather(jnp.asarray(y), jnp.asarray(idx))
+        )
+        assert gathered.shape == (B, P1, K, D)
+        for b in range(B):
+            np.testing.assert_allclose(gathered[b], y[b][idx[b]], atol=0)

@@ -471,6 +471,48 @@ class BatchCamera(CameraBase):
     def reconstruct(self, depth):
         return self._dispatch("reconstruct", depth)
 
+    # ---- per-type affine dispatch -----------------------------------------
+    # crop/resize/flip are parameter-only updates, but their semantics differ
+    # per camera type (Spherical must rescale W/H/hfov/vfov, reference
+    # utils/camera.py:331-409 vs the pinhole-affine base :115-130). Falling
+    # through to the base would silently corrupt Spherical members of a
+    # mixed batch, so evaluate every type's cheap update and select per
+    # sample by type id.
+    def _affine_select(self, method: str, *args, **kwargs):
+        variants = jnp.stack(
+            [
+                getattr(cls(params=self.params), method)(*args, **kwargs).params
+                for cls in _CAMERA_TYPES
+            ]
+        )  # (T, B, 16)
+        params = jnp.take_along_axis(
+            variants, self.type_ids[None, :, None].astype(jnp.int32), axis=0
+        )[0]
+        return self.replace(params=params)
+
+    def crop(self, left, top, right=None, bottom=None):
+        return self._affine_select("crop", left, top, right, bottom)
+
+    def resize(self, factor):
+        return self._affine_select("resize", factor)
+
+    def flip(self, H, W, direction="horizontal"):
+        return self._affine_select("flip", H, W, direction=direction)
+
+    def _property_select(self, name: str):
+        vals = jnp.stack(
+            [getattr(cls(params=self.params), name) for cls in _CAMERA_TYPES]
+        )  # (T, B)
+        return jnp.take_along_axis(vals, self.type_ids[None].astype(jnp.int32), axis=0)[0]
+
+    @property
+    def hfov(self):
+        return self._property_select("hfov")
+
+    @property
+    def vfov(self):
+        return self._property_select("vfov")
+
 
 def _camera_base_extras():
     """Attach late-bound helpers to CameraBase (kept out of the class body

@@ -236,6 +236,15 @@ class UniDepthV2:
         """Build + cache the jitted end-to-end program for one shape bucket."""
         if shape_key in self._jit_cache:
             return self._jit_cache[shape_key]
+        fn = jax.jit(self._build_run(shape_key))
+        self._jit_cache[shape_key] = fn
+        return fn
+
+    def _build_run(self, shape_key):
+        """The pure (unjitted) end-to-end program for one shape bucket —
+        normalize/pad/resize + encoder + decoder + postprocess. Exposed
+        separately so bench.py can chain iterations of the real serving
+        program inside one jitted fori_loop."""
         (H, W, pads, padded, new_hw, factor, has_camera, normalize, outputs) = shape_key
         pl, pr, pt, pb = pads
         padded_h, padded_w = padded
@@ -310,9 +319,7 @@ class UniDepthV2:
                 res = {k: res[k] for k in outputs}
             return res
 
-        fn = jax.jit(run)
-        self._jit_cache[shape_key] = fn
-        return fn
+        return run
 
     # ------------------------------------------------------------------
     # 'core' compile granularity: the expensive encoder+decoder program is

@@ -48,13 +48,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, blk_k: int, n_real: int, scale:
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        acc = jax.lax.dot_general(
-            p.astype(v_ref.dtype),
+        # transposed PV: (d, n_pad) @ (n_pad, blk_q) fills all 128 output
+        # lanes with query positions instead of the d=64 head dim
+        # (measured +3% at N=1370 on v5e, docs/PERF.md lever table)
+        acc_t = jax.lax.dot_general(
             v_ref[0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype),
+            dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        o_ref[0] = (acc_t.T / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
         return
 
     def body(i, carry):
