@@ -84,8 +84,34 @@ def _stack(trees: list) -> dict:
     return out
 
 
-def convert_encoder(sd: dict, output_idx: tuple[int, ...]) -> dict:
-    """DINOv2 ViT weights -> DinoViT params (models/backbones/dinov2.py)."""
+def _flatten_chunked_blocks(sd: dict) -> dict:
+    """Remap the FSDP chunked-blocks layout ``blocks.{chunk}.{i}.*`` that FB
+    DINOv2 training checkpoints carry to the flat ``blocks.{i}.*`` layout
+    (reference backbones/dinov2.py:240-249 BlockChunk pads each chunk with
+    Identity modules so the inner index stays the GLOBAL block index)."""
+    if not any(re.match(r"blocks\.\d+\.\d+\.", k) for k in sd):
+        return sd
+    return {re.sub(r"^blocks\.\d+\.(\d+)\.", r"blocks.\1.", k): v for k, v in sd.items()}
+
+
+def convert_encoder(
+    sd: dict,
+    output_idx: tuple[int, ...],
+    num_register_tokens: int = 0,
+    use_norm: bool = True,
+) -> dict:
+    """DINOv2 ViT weights -> DinoViT params (models/backbones/dinov2.py).
+
+    Accepts both the flat ``blocks.{i}`` layout (UniDepth checkpoints,
+    block_chunks=0) and FB's chunked ``blocks.{chunk}.{i}`` layout.
+    ``num_register_tokens`` must come from the config: the reference keeps
+    a dormant (1, 1, C) ``register_tokens`` parameter even when registers
+    are disabled (dinov2.py:196-198 ``max(1, num_register_tokens)``), so
+    the checkpoint shape alone cannot distinguish used from unused.
+    Likewise the final ``norm`` LayerNorm is always present in checkpoints
+    (dinov2.py:254) but only applied when use_norm (V1 configs disable
+    it), so inclusion is config-driven too."""
+    sd = _flatten_chunked_blocks(sd)
     p = {}
     pw = sd["patch_embed.proj.weight"]  # (C, 3, p, p)
     c = pw.shape[0]
@@ -95,8 +121,8 @@ def convert_encoder(sd: dict, output_idx: tuple[int, ...]) -> dict:
     p["patch_bias"] = sd["patch_embed.proj.bias"]
     p["cls_token"] = sd["cls_token"]
     p["pos_embed"] = sd["pos_embed"]
-    if "register_tokens" in sd and sd["register_tokens"].shape[1] > 0:
-        p["register_tokens"] = sd["register_tokens"]
+    if num_register_tokens > 0:
+        p["register_tokens"] = sd["register_tokens"][:, :num_register_tokens]
 
     def block(i):
         pre = f"blocks.{i}"
@@ -121,7 +147,7 @@ def convert_encoder(sd: dict, output_idx: tuple[int, ...]) -> dict:
     for si in range(len(output_idx)):
         blocks = [block(i) for i in range(boundaries[si], boundaries[si + 1])]
         p[f"stage_{si}"] = _stack(blocks)
-    if "norm.weight" in sd:
+    if use_norm and "norm.weight" in sd:
         p["norm"] = _ln(sd, "norm")
     return p
 
@@ -190,20 +216,31 @@ def convert_v2_decoder(sd: dict, num_resolutions: int = 4, num_levels: int = 3) 
     return p
 
 
+def _normalize_root(state_dict: Mapping) -> dict:
+    """Reference load_pretrained semantics (unidepthv2.py:381-394): unwrap a
+    ``{"model": ...}`` checkpoint wrapper and drop ``module.`` DDP prefixes
+    anywhere in the key (the reference uses str.replace, not a regex)."""
+    if "model" in state_dict and isinstance(state_dict["model"], Mapping):
+        state_dict = state_dict["model"]
+    return {
+        k.replace("module.", ""): np.asarray(v, dtype=np.float32)
+        for k, v in state_dict.items()
+    }
+
+
 def convert_v2_state_dict(
     state_dict: Mapping[str, np.ndarray],
     output_idx: tuple[int, ...],
     num_levels: int = 3,
+    num_register_tokens: int = 0,
+    use_norm: bool = True,
 ) -> dict:
     """Full UniDepthV2 torch state dict -> {'encoder', 'decoder'} pytree."""
-    sd = {
-        re.sub(r"^module\.", "", k): np.asarray(v, dtype=np.float32)
-        for k, v in state_dict.items()
-    }
+    sd = _normalize_root(state_dict)
     enc = {k[len("pixel_encoder."):]: v for k, v in sd.items() if k.startswith("pixel_encoder.")}
     dec = {k[len("pixel_decoder."):]: v for k, v in sd.items() if k.startswith("pixel_decoder.")}
     return {
-        "encoder": convert_encoder(enc, output_idx),
+        "encoder": convert_encoder(enc, output_idx, num_register_tokens, use_norm),
         "decoder": convert_v2_decoder(dec, num_levels=num_levels),
     }
 
@@ -379,16 +416,15 @@ def convert_v1_state_dict(
     state_dict: Mapping[str, np.ndarray],
     output_idx: tuple[int, ...] = (5, 12, 18, 24),
     backbone: str = "dinov2",
+    num_register_tokens: int = 0,
+    use_norm: bool = False,
 ) -> dict:
     """Full UniDepthV1 torch state dict -> {'encoder', 'decoder'} pytree."""
-    sd = {
-        re.sub(r"^module\.", "", k): np.asarray(v, dtype=np.float32)
-        for k, v in state_dict.items()
-    }
+    sd = _normalize_root(state_dict)
     enc = {k[len("pixel_encoder."):]: v for k, v in sd.items() if k.startswith("pixel_encoder.")}
     dec = {k[len("pixel_decoder."):]: v for k, v in sd.items() if k.startswith("pixel_decoder.")}
     if backbone == "dinov2":
-        encoder = convert_encoder(enc, output_idx)
+        encoder = convert_encoder(enc, output_idx, num_register_tokens, use_norm)
     else:
         encoder = convert_convnext(enc)
     return {"encoder": encoder, "decoder": convert_v1_decoder(dec)}
@@ -478,14 +514,13 @@ def convert_v2old_decoder(sd: dict, num_resolutions: int = 4, num_levels: int = 
 def convert_v2old_state_dict(
     state_dict: Mapping[str, np.ndarray],
     output_idx: tuple[int, ...] = (21, 22, 23, 24),
+    num_register_tokens: int = 0,
+    use_norm: bool = True,
 ) -> dict:
-    sd = {
-        re.sub(r"^module\.", "", k): np.asarray(v, dtype=np.float32)
-        for k, v in state_dict.items()
-    }
+    sd = _normalize_root(state_dict)
     enc = {k[len("pixel_encoder."):]: v for k, v in sd.items() if k.startswith("pixel_encoder.")}
     dec = {k[len("pixel_decoder."):]: v for k, v in sd.items() if k.startswith("pixel_decoder.")}
     return {
-        "encoder": convert_encoder(enc, output_idx),
+        "encoder": convert_encoder(enc, output_idx, num_register_tokens, use_norm),
         "decoder": convert_v2old_decoder(dec),
     }

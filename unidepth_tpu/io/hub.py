@@ -92,6 +92,9 @@ def load_checkpoint(name_or_path: str, version: int = 2):
 
     sd = _read_state_dict(ckpt_file)
     enc_name = config["model"]["pixel_encoder"]["name"]
+    num_reg = config["model"]["pixel_encoder"].get("num_register_tokens", 0)
+    # reference encoder-factory default (encoder.py:150): use_norm=False
+    use_norm = config["model"]["pixel_encoder"].get("use_norm", False)
     model_name = config.get("model", {}).get("name", f"UniDepthV{version}")
     if model_name == "UniDepthV2old":
         from unidepth_tpu.io.convert import convert_v2old_state_dict
@@ -99,13 +102,19 @@ def load_checkpoint(name_or_path: str, version: int = 2):
         output_idx = tuple(
             config["model"]["pixel_encoder"].get("output_idx", (21, 22, 23, 24))
         )
-        return config, convert_v2old_state_dict(sd, output_idx=output_idx)
+        return config, convert_v2old_state_dict(
+            sd, output_idx=output_idx, num_register_tokens=num_reg,
+            use_norm=use_norm,
+        )
     if version == 2:
         output_idx = tuple(
             config["model"]["pixel_encoder"].get("output_idx", (6, 12, 18, 24))
         )
         num_levels = len(config["model"]["pixel_decoder"].get("depths", (2, 2, 2)))
-        params = convert_v2_state_dict(sd, output_idx=output_idx, num_levels=num_levels)
+        params = convert_v2_state_dict(
+            sd, output_idx=output_idx, num_levels=num_levels,
+            num_register_tokens=num_reg, use_norm=use_norm,
+        )
     else:
         from unidepth_tpu.io.convert import convert_v1_state_dict
 
@@ -116,5 +125,6 @@ def load_checkpoint(name_or_path: str, version: int = 2):
             sd,
             output_idx=output_idx,
             backbone="convnext" if "convnext" in enc_name else "dinov2",
+            num_register_tokens=num_reg, use_norm=use_norm,
         )
     return config, params

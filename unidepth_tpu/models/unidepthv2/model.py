@@ -168,7 +168,7 @@ class UniDepthV2:
                 pe.get("output_idx", vit.output_idx if vit else (3, 6, 9, 12))
             ),
             num_register_tokens=pe.get("num_register_tokens", 0),
-            use_norm=pe.get("use_norm", True),
+            use_norm=pe.get("use_norm", False),  # reference encoder.py:150 default
         )
         stacking = pe.get("stacking_fn", "last")
         sc = config.get("data", {}).get("augmentations", {}).get("shape_constraints")

@@ -342,7 +342,7 @@ class UniDepthV2old:
                     "output_idx", [vit.depth - 3, vit.depth - 2, vit.depth - 1, vit.depth]
                 )
             ),
-            use_norm=config["model"]["pixel_encoder"].get("use_norm", True),
+            use_norm=config["model"]["pixel_encoder"].get("use_norm", False),
         )
         dec = config["model"]["pixel_decoder"]
         return cls(
