@@ -187,6 +187,7 @@ def main():
         accum=accum,
         num_threads=4,
         seed=args.seed + jax.process_index(),
+        num_copies=config["data"].get("num_copies", 1),
     )
     bshard = NamedSharding(mesh, P(None, ("data", "fsdp")))
 

@@ -145,11 +145,17 @@ class Loader:
         prefetch: int = 2,
         seed: int = 0,
         normalize: bool = True,
+        num_copies: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shape_sampler = shape_sampler
         self.accum = accum
+        if batch_size % num_copies != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by num_copies {num_copies}"
+            )
+        self.num_copies = num_copies
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.seed = seed
@@ -167,13 +173,18 @@ class Loader:
         micro = []
         for _ in range(self.accum):
             samples = []
-            for _ in range(self.batch_size):
+            for _ in range(self.batch_size // self.num_copies):
+                # num_copies > 1: the same base sample is loaded num_copies
+                # times with independent crop/augmentation draws, laid out
+                # interleaved — the layout SelfDistill consumes (reference
+                # base_dataset.py:273 replicate + losses/distill.py pairing)
                 ds, idx = self.dataset.sample(rng)
-                if hasattr(ds, "get_single_item"):
-                    s = ds.get_single_item(idx, rng, image_shape=shape)
-                else:
-                    s = ds[idx]
-                samples.append(s)
+                for _ in range(self.num_copies):
+                    if hasattr(ds, "get_single_item"):
+                        s = ds.get_single_item(idx, rng, image_shape=shape)
+                    else:
+                        s = ds[idx]
+                    samples.append(s)
             micro.append(collate(samples))
         if self.accum == 1:
             return micro[0]

@@ -46,6 +46,7 @@ class ViTConfig:
     ffn_layer: str = "mlp"  # "mlp" | "swiglu"
     output_idx: tuple[int, ...] = (5, 12, 18, 24)
     use_norm: bool = True
+    drop_path_rate: float = 0.0  # linear per-block ramp (dinov2.py:204-205)
 
     @property
     def num_patches(self) -> int:
@@ -72,7 +73,9 @@ class ViTBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, _=None):
+    def __call__(self, x, rate=None):
+        """``rate``: optional per-block stochastic-depth rate, threaded as a
+        scanned input at train time (None = eval / drop_path 0)."""
         b, n, c = x.shape
         h = self.num_heads
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
@@ -104,6 +107,12 @@ class ViTBlock(nn.Module):
                 "ls1_gamma", nn.initializers.constant(self.init_values), (c,)
             )
             attn = attn * gamma1.astype(self.dtype)
+        if rate is not None:
+            from unidepth_tpu.nn.layers import drop_path
+
+            attn = drop_path(
+                attn, rate, self.make_rng("droppath"), deterministic=False
+            )
         x = x + attn
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
@@ -124,6 +133,10 @@ class ViTBlock(nn.Module):
                 "ls2_gamma", nn.initializers.constant(self.init_values), (c,)
             )
             y = y * gamma2.astype(self.dtype)
+        if rate is not None:
+            from unidepth_tpu.nn.layers import drop_path
+
+            y = drop_path(y, rate, self.make_rng("droppath"), deterministic=False)
         out = x + y
         return out, (out if self.collect else None)
 
@@ -153,8 +166,12 @@ class DinoViT(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, image: jnp.ndarray):
-        """image: (B, H, W, 3), H and W multiples of patch_size."""
+    def __call__(self, image: jnp.ndarray, train: bool = False):
+        """image: (B, H, W, 3), H and W multiples of patch_size.
+
+        ``train=True`` enables stochastic depth when cfg.drop_path_rate > 0
+        (requires a 'droppath' rng in apply; reference metadinov2/block.py
+        drop_path1 on both residual branches, linear ramp dinov2.py:204)."""
         cfg = self.cfg
         b, h, w, _ = image.shape
         p = cfg.patch_size
@@ -223,6 +240,8 @@ class DinoViT(nn.Module):
         )
         reg = cfg.num_register_tokens
         all_cls: list[jnp.ndarray] = []
+        use_dp = train and cfg.drop_path_rate > 0.0
+        dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth) if use_dp else None
         for si in range(len(cfg.output_idx)):
             seg_len = boundaries[si + 1] - boundaries[si]
             collect_ys = self.stacking != "last"
@@ -230,10 +249,15 @@ class DinoViT(nn.Module):
             Scanned = nn.scan(
                 block_cls,
                 variable_axes={"params": 0},
-                split_rngs={"params": True},
+                split_rngs={"params": True, "droppath": True},
                 length=seg_len,
                 unroll=self.unroll,
                 metadata_params={nn.meta.PARTITION_NAME: None},
+            )
+            rates = (
+                jnp.asarray(dpr[boundaries[si] : boundaries[si + 1]], jnp.float32)
+                if use_dp
+                else None
             )
             x, ys = Scanned(
                 dim=c,
@@ -245,7 +269,7 @@ class DinoViT(nn.Module):
                 attn_impl=self.attn_impl,
                 dtype=self.dtype,
                 name=f"stage_{si}",
-            )(x, None)
+            )(x, rates)
             if self.stacking == "max_cls":
                 seg_cls = ys[:, :, :1]  # (L, B, 1, C)
                 seg_patches = ys[:, :, 1 + reg :]

@@ -125,6 +125,9 @@ class UniDepthV1:
                 config["model"]["pixel_encoder"].get("output_idx", V1_OUTPUT_IDX[preset])
             ),
             use_norm=False,
+            drop_path_rate=config["model"]["pixel_encoder"].get(
+                "drop_path", config.get("training", {}).get("drop_path", 0.0)
+            ),
         )
         dec = config["model"]["pixel_decoder"]
         return cls(
@@ -160,10 +163,20 @@ class UniDepthV1:
         return self.params
 
     # ------------------------------------------------------------------
-    def encode_decode(self, params, image, rays_gt=None, K_gt=None, skip_camera=False):
+    def encode_decode(
+        self, params, image, rays_gt=None, K_gt=None, skip_camera=False, rng=None
+    ):
         _, h, w, _ = image.shape
+        train = (
+            rng is not None
+            and self.encoder_cfg is not None
+            and self.encoder_cfg.drop_path_rate > 0.0
+        )
         feats, cls_tokens = self.encoder.apply(
-            {"params": params["encoder"]}, image.astype(self.dtype)
+            {"params": params["encoder"]},
+            image.astype(self.dtype),
+            *((train,) if train else ()),
+            rngs={"droppath": rng} if train else None,
         )
         K, preds, depth_features = self.decoder.apply(
             {"params": params["decoder"]},

@@ -169,6 +169,11 @@ class UniDepthV2:
             ),
             num_register_tokens=pe.get("num_register_tokens", 0),
             use_norm=pe.get("use_norm", False),  # reference encoder.py:150 default
+            # reference build merges training into the encoder config
+            # (unidepthv2.py:421-425), so drop_path comes from either section
+            drop_path_rate=pe.get(
+                "drop_path", config.get("training", {}).get("drop_path", 0.0)
+            ),
         )
         stacking = pe.get("stacking_fn", "last")
         sc = config.get("data", {}).get("augmentations", {}).get("shape_constraints")
@@ -508,15 +513,19 @@ class UniDepthV2:
         return fn(self._serving_params(), rgb, camera)
 
     # ------------------------------------------------------------------
-    def encode_decode(self, params, image, rays_gt=None):
+    def encode_decode(self, params, image, rays_gt=None, rng=None):
         """Pure train/eval forward on a preprocessed batch (B, H, W, 3).
 
         Returns the decoder output dict plus 'points'/'depth'
-        (reference unidepthv2.py:341-379).
-        """
+        (reference unidepthv2.py:341-379). Passing ``rng`` enables
+        stochastic depth when the config ships drop_path > 0."""
         _, h, w, _ = image.shape
+        train = rng is not None and self.encoder_cfg.drop_path_rate > 0.0
         feats, cls_tokens = self.encoder.apply(
-            {"params": params["encoder"]}, image.astype(self.dtype)
+            {"params": params["encoder"]},
+            image.astype(self.dtype),
+            train,
+            rngs={"droppath": rng} if train else None,
         )
         out = self.decoder.apply(
             {"params": params["decoder"]}, feats, cls_tokens, (h, w), rays_gt=rays_gt

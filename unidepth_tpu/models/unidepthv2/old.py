@@ -396,10 +396,14 @@ class UniDepthV2old:
         scale = th / h * self.PATCH
         return (th * self.PATCH, tw * self.PATCH), scale
 
-    def encode_decode(self, params, image, rays_gt=None):
+    def encode_decode(self, params, image, rays_gt=None, rng=None):
         _, h, w, _ = image.shape
+        train = rng is not None and self.encoder_cfg.drop_path_rate > 0.0
         feats, cls_tokens = self.encoder.apply(
-            {"params": params["encoder"]}, image.astype(self.dtype)
+            {"params": params["encoder"]},
+            image.astype(self.dtype),
+            *((train,) if train else ()),
+            rngs={"droppath": rng} if train else None,
         )
         # stacking 'last': stage outputs are blocks output_idx; v2old uses
         # per-block tails (reference unidepthv2_old.py:150-160)

@@ -243,14 +243,18 @@ class AttentionDecoderBlock(nn.Module):
         return x + m
 
 
-def drop_path(x, rate: float, rng, deterministic: bool = True):
-    """Stochastic depth over the batch axis (reference layers/drop_path.py:
-    scale-compensated per-sample residual drop)."""
-    if deterministic or rate <= 0.0:
+def drop_path(x, rate, rng, deterministic: bool = True):
+    """Stochastic depth over the batch axis: scale-compensated per-sample
+    Bernoulli residual drop (reference layers/drop_path.py:5-26 and
+    metadinov2/block.py:103-105, which applies drop_path1 to both residual
+    branches at train time). ``rate`` may be a traced scalar (per-block
+    ramp threaded through nn.scan)."""
+    if deterministic:
         return x
     import jax
+    import jax.numpy as jnp
 
-    keep = 1.0 - rate
+    keep = 1.0 - jnp.asarray(rate, jnp.float32)
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
-    return x * mask / keep
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep.astype(x.dtype), jnp.zeros((), x.dtype))

@@ -95,10 +95,11 @@ def make_train_step(model, optimizer, config: dict, recipe=None):
     )
 
     def loss_fn(params, batch, rng):
+        rng_dp, rng_loss = jax.random.split(rng)
         outputs = model.encode_decode(
-            params, batch["image"], rays_gt=batch.get("rays")
+            params, batch["image"], rays_gt=batch.get("rays"), rng=rng_dp
         )
-        ldict = recipe(losses, outputs, batch, rng)
+        ldict = recipe(losses, outputs, batch, rng_loss)
         return ldict["total"], ldict
 
     def init_state(params) -> TrainState:
