@@ -258,6 +258,27 @@ def main():
         if (step + 1) % tr.get("checkpoint_interval", 10000) == 0:
             save_checkpoint(args.checkpoint_dir, state, step + 1)
         if val_interval and (step + 1) % val_interval == 0:
+            # image artifacts: rgb / GT / prediction grid for one batch
+            # (reference utils/visualization.py:136 log_train_artifacts)
+            from unidepth_tpu.utils.visualization import log_train_artifacts
+
+            art_name, art_loader = next(iter(_val_loaders().items()))
+            art_batch = next(iter(art_loader))
+            art_out = jax.jit(
+                lambda p, x, r: model.encode_decode(p, x, rays_gt=r)
+            )(
+                state.ema.shadow,
+                jnp.asarray(art_batch["image"]),
+                jnp.asarray(art_batch["rays"]),
+            )
+            n_cols = min(4, art_batch["image"].shape[0])
+            grid = log_train_artifacts(
+                [np.asarray(art_batch["image"][i]) for i in range(n_cols)],
+                [np.asarray(art_batch["depth"][i]) for i in range(n_cols)],
+                [np.asarray(art_out["depth"][i]) for i in range(n_cols)],
+            )
+            logger.log_image(f"{art_name}_training", grid, step + 1)
+
             results = validate(
                 model, state.ema.shadow, _val_loaders(), max_iters=args.val_iters
             )

@@ -94,3 +94,38 @@ def test_sharded_eval_sampler_no_duplicates():
     assert sorted(seen) == list(range(10))
     # no padding duplicates (reference DistributedSamplerNoDuplicate)
     assert max(lens) - min(lens) <= 1
+
+
+def test_log_train_artifacts_grid_and_metric_logger_image(tmp_path, rng):
+    """Training image artifacts (reference visualization.py:136-199): grid of
+    rgb / colorized GT / ssi-rescaled pred, saved as a PNG artifact via
+    MetricLogger.log_image (the wandb.Image replacement)."""
+    from unidepth_tpu.utils.logging import MetricLogger
+    from unidepth_tpu.utils.visualization import log_train_artifacts
+
+    h, w, n = 24, 32, 3
+    rgbs = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+    gts = [rng.uniform(0.5, 10.0, (h, w, 1)).astype(np.float32) for _ in range(n)]
+    preds = [2.0 * g + 1.0 for g in gts]  # affine-off preds: ssi must realign
+    grid = log_train_artifacts(rgbs, gts, preds)
+    assert grid.shape == (3 * h, n * w, 3) and grid.dtype == np.uint8
+    # rgb row is passed through untouched
+    np.testing.assert_array_equal(grid[:h, :w], rgbs[0])
+    # ssi alignment makes pred row match the gt row's colorization closely
+    gt_row = grid[h : 2 * h].astype(np.int32)
+    pred_row = grid[2 * h :].astype(np.int32)
+    assert np.abs(gt_row - pred_row).mean() < 8.0
+
+    # extra info rows and the no-GT branch
+    grid2 = log_train_artifacts(rgbs, [], preds, infos={"err": gts})
+    assert grid2.shape == (3 * h, n * w, 3)
+
+    logger = MetricLogger(run_name="t", out_dir=str(tmp_path))
+    path = logger.log_image("val_training", grid, step=7)
+    logger.close()
+    assert path is not None and path.endswith("val_training_7.png")
+    from PIL import Image
+
+    assert Image.open(path).size == (n * w, 3 * h)
+    recs = [json.loads(l) for l in open(tmp_path / "t.jsonl")]
+    assert any("image/val_training" in r for r in recs)

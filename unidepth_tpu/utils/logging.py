@@ -44,6 +44,30 @@ class MetricLogger:
             self._wandb.log(flat, step=step)
         return self.ema
 
+    def log_image(self, name: str, image, step: int) -> str | None:
+        """Save a (H, W, 3) uint8 artifact as PNG under out_dir/artifacts and
+        record its path in the JSONL stream (the reference's wandb.Image
+        upload, visualization.py:195-199, replaced by on-disk artifacts).
+        Also forwards to wandb when attached."""
+        path = None
+        if self._jsonl is not None:
+            import numpy as np
+            from PIL import Image
+
+            art_dir = Path(self._jsonl.name).parent / "artifacts"
+            art_dir.mkdir(exist_ok=True)
+            path = str(art_dir / f"{name}_{step}.png")
+            Image.fromarray(np.asarray(image)).save(path)
+            self._jsonl.write(
+                json.dumps({"step": step, f"image/{name}": path}) + "\n"
+            )
+            self._jsonl.flush()
+        if self._wandb is not None:
+            import wandb  # type: ignore
+
+            self._wandb.log({name: [wandb.Image(image)]}, step=step)
+        return path
+
     def memory_stats(self) -> dict:
         out = {}
         try:

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["colorize", "image_grid", "save_point_cloud"]
+__all__ = ["colorize", "image_grid", "log_train_artifacts", "save_point_cloud"]
 
 
 def _magma_lut(n: int = 256) -> np.ndarray:
@@ -61,6 +61,72 @@ def image_grid(images: list[np.ndarray], rows: int, cols: int) -> np.ndarray:
     for i, img in enumerate(images[: rows * cols]):
         r, c = divmod(i, cols)
         grid[r * h : (r + 1) * h, c * w : (c + 1) * w] = img
+    return grid
+
+
+def log_train_artifacts(
+    rgbs, gts, preds, out_path: str | None = None, infos: dict | None = None
+) -> np.ndarray:
+    """Compose the training-artifact comparison grid: one column per sample,
+    rows = rgb / colorized GT / SSI-rescaled colorized prediction /
+    extra maps (reference utils/visualization.py:136-199
+    ``log_train_artifacts``; the wandb image upload is replaced by an
+    optional PNG on disk — pair with MetricLogger.log_image).
+
+    rgbs: list/array of (H, W, 3) uint8 or float images; gts/preds:
+    (H, W[, 1]) depth maps (gts may be empty); infos: {name: list of
+    (H, W[, 3]) arrays} appended as extra rows. Returns the uint8 grid.
+    """
+    from unidepth_tpu.utils.misc import ssi_helper
+
+    def to_u8(img):
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            if img.min() < 0:  # [-1, 1]-normalized (reference convention)
+                img = (127.5 * (img + 1.0)).clip(0, 255)
+            elif img.max() <= 1.0 + 1e-6:
+                img = img * 255.0
+            img = img.clip(0, 255).astype(np.uint8)
+        return img
+
+    rgbs = [to_u8(r) for r in rgbs]
+    cols = len(rgbs)
+    gts = [np.asarray(g).squeeze() for g in gts]
+    preds = [np.asarray(p).squeeze() for p in preds]
+    gt_rows, pred_rows = [], []
+    if len(gts):
+        for gt, pred in zip(gts, preds):
+            valid = gt > 0
+            if valid.any():
+                # align pred onto the GT scale (reference ssi_helper(gt, pred)
+                # solves pred*scale+shift ~= gt; repo ssi_helper aligns its
+                # first arg onto its second)
+                scale, shift = ssi_helper(pred[valid], gt[valid])
+                scale = float(np.asarray(scale).reshape(-1)[0])
+                shift = float(np.asarray(shift).reshape(-1)[0])
+                pred = pred * scale + shift
+                vmin, vmax = float(gt[valid].min()), float(gt.max())
+            else:
+                vmin, vmax = 0.0, 0.1
+            gt_rows.append(colorize(gt, vmin=vmin, vmax=vmax))
+            pred_rows.append(colorize(pred, vmin=vmin, vmax=vmax))
+    else:
+        pred_rows = [colorize(p, 0.0, 80.0) for p in preds]
+
+    extra = []
+    n_extra = 0
+    for _, info in (infos or {}).items():
+        n_extra += 1
+        for x in list(info)[:cols]:
+            x = np.asarray(x)
+            extra.append(to_u8(x) if x.ndim == 3 and x.shape[-1] == 3 else colorize(x))
+
+    rows = 2 + int(len(gt_rows) > 0) + n_extra
+    grid = image_grid([*rgbs, *gt_rows, *pred_rows, *extra], rows, cols)
+    if out_path is not None:
+        from PIL import Image
+
+        Image.fromarray(grid).save(out_path)
     return grid
 
 
