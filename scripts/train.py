@@ -26,6 +26,13 @@ def main():
     ap.add_argument("--dummy-data", action="store_true")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--fsdp", type=int, default=1)
+    ap.add_argument(
+        "--tp",
+        type=int,
+        default=1,
+        help="tensor-parallel degree: Megatron column/row sharding of "
+        "attention/MLP kernels over the mesh's innermost axis",
+    )
     ap.add_argument("--checkpoint-dir", default="checkpoints")
     ap.add_argument("--resume", default=None)
     ap.add_argument("--seed", type=int, default=13)
@@ -75,6 +82,7 @@ def main():
         initialize_distributed,
         make_mesh,
         fsdp_param_sharding,
+        tp_param_sharding,
         check_batch_divisibility,
     )
     from unidepth_tpu.training.optim import build_optimizer
@@ -85,7 +93,7 @@ def main():
     config = json.loads(Path(args.config_file).read_text())
     tr = config["training"]
 
-    mesh = make_mesh(fsdp=args.fsdp)
+    mesh = make_mesh(fsdp=args.fsdp, tp=args.tp)
     n_dev = len(jax.devices())
     print(f"devices: {n_dev}, mesh: {dict(mesh.shape)}")
 
@@ -136,23 +144,29 @@ def main():
         state, start_step = load_train_checkpoint(args.resume, state)
         print(f"resumed from {args.resume} at step {start_step}")
 
-    # params, Adam moments, and the EMA shadow all use the shape-driven
-    # fsdp spec, so mu/nu/shadow land on the same layout as their param.
+    # params, Adam moments, and the EMA shadow all use the same spec
+    # (tp column/row rules on attention/MLP kernels when --tp > 1, the
+    # shape-driven fsdp rule elsewhere), so mu/nu/shadow land on the same
+    # layout as their param.
+    param_sharding = tp_param_sharding if args.tp > 1 else fsdp_param_sharding
     state = state._replace(
-        params=jax.device_put(state.params, fsdp_param_sharding(mesh, state.params)),
+        params=jax.device_put(state.params, param_sharding(mesh, state.params)),
         opt_state=jax.device_put(
-            state.opt_state, fsdp_param_sharding(mesh, state.opt_state)
+            state.opt_state, param_sharding(mesh, state.opt_state)
         ),
-        ema=jax.device_put(state.ema, fsdp_param_sharding(mesh, state.ema)),
+        ema=jax.device_put(state.ema, param_sharding(mesh, state.ema)),
     )
     step_fn = jax.jit(train_step, donate_argnums=(0,))
 
     # data — fail fast on indivisible batch configs instead of deep inside
-    # XLA: the P(None, ("data","fsdp")) batch sharding needs local_bs % n_dev
-    # == 0, and the global batch must split evenly across processes.
+    # XLA: the P(None, ("data","fsdp")) batch sharding needs local_bs to
+    # divide over the data*fsdp submesh (batch is replicated over tp), and
+    # the global batch must split evenly across processes.
     batch_size = tr.get("batch_size", 8)
     accum = tr.get("nsteps_accumulation_gradient", 1)
-    local_bs = check_batch_divisibility(batch_size, jax.process_count(), n_dev)
+    local_bs = check_batch_divisibility(
+        batch_size, jax.process_count(), n_dev // args.tp
+    )
     aug = config["data"].get("augmentations", {})
     if args.dummy_data:
         datasets = [Dummy(image_shape=image_shape, length=1024)]

@@ -25,6 +25,7 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "fsdp_param_sharding",
+    "tp_param_sharding",
     "check_batch_divisibility",
 ]
 
@@ -78,14 +79,20 @@ def initialize_distributed(**kwargs) -> None:
     jax.distributed.initialize(**kwargs)
 
 
-def make_mesh(data: int | None = None, fsdp: int = 1, devices=None) -> Mesh:
+def make_mesh(
+    data: int | None = None, fsdp: int = 1, tp: int = 1, devices=None
+) -> Mesh:
+    """dp x fsdp x tp mesh. ``tp`` (tensor/model parallelism) is innermost so
+    its collectives (the per-block all-reduces of Megatron-style sharding)
+    ride the fastest ICI links; ``data`` is outermost so gradient all-reduce
+    — once per step — takes the long hops."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data is None:
-        data = n // fsdp
-    assert data * fsdp == n, f"mesh {data}x{fsdp} != {n} devices"
-    dev_array = np.asarray(devices).reshape(data, fsdp)
-    return Mesh(dev_array, axis_names=("data", "fsdp"))
+        data = n // (fsdp * tp)
+    assert data * fsdp * tp == n, f"mesh {data}x{fsdp}x{tp} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, fsdp, tp)
+    return Mesh(dev_array, axis_names=("data", "fsdp", "tp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -97,16 +104,62 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def fsdp_param_sharding(mesh: Mesh, params):
-    """Shard each leaf's largest axis over the fsdp axis when it divides
-    evenly; replicate otherwise (simple ZeRO-3-style layout).
+# Megatron-style tensor-parallel layout, keyed by module name (the kernel's
+# parent in the param path). Column-parallel modules shard their OUTPUT dim
+# over tp (each chip computes a slice of heads / hidden units, no comm);
+# row-parallel modules shard their INPUT dim (the contraction produces a
+# partial sum, and GSPMD inserts the one all-reduce per block at the output).
+# Names cover both the ViT blocks (qkv/proj, fc1/fc2 — dinov2.py) and the
+# decoder attention/MLP stacks (q/kv/out, proj1/proj2 — nn/layers.py).
+_TP_COL = frozenset({"qkv", "fc1", "q", "kv", "proj1"})
+_TP_ROW = frozenset({"proj", "fc2", "out", "proj2"})
 
-    The spec is purely shape-driven, so applying this to the optimizer
-    state and EMA shadow gives Adam mu/nu and the shadow the *same* layout
-    as their parameter — apply it to the whole TrainState, not just
-    params, or the fsdp axis saves negative memory (moments are ~2x param
-    bytes)."""
-    fsdp = mesh.shape["fsdp"]
+
+def tp_param_sharding(mesh: Mesh, params):
+    """Tensor-parallel + fsdp sharding spec for a (param-shaped) tree.
+
+    Kernels of attention/MLP projections get the Megatron column/row layout
+    over the ``tp`` axis; within a tp-sharded kernel the largest remaining
+    axis is additionally sharded over ``fsdp`` when divisible (2D sharding).
+    Everything else falls back to :func:`fsdp_param_sharding`'s shape-driven
+    rule. Matching is on the trailing path components, so the same function
+    lays out Adam mu/nu and the EMA shadow identically to their param —
+    apply it to the whole TrainState.
+    """
+    tp = mesh.shape.get("tp", 1)
+    fsdp = mesh.shape.get("fsdp", 1)
+    fsdp_fallback = _fsdp_spec_fn(mesh)
+
+    def spec(path, x):
+        names = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+        leaf = names[-1] if names else ""
+        parent = names[-2] if len(names) >= 2 else ""
+        if tp > 1 and x.ndim >= 1:
+            parts = [None] * x.ndim
+            axis = None
+            if parent in _TP_COL and leaf in ("kernel", "bias"):
+                # output dim is always last (flax Dense / scanned Dense)
+                axis = x.ndim - 1
+            elif parent in _TP_ROW and leaf == "kernel" and x.ndim >= 2:
+                axis = x.ndim - 2  # contraction (input) dim
+            if axis is not None and x.shape[axis] % tp == 0:
+                parts[axis] = "tp"
+                if fsdp > 1 and x.ndim >= 2:
+                    rest = [
+                        (x.shape[a], a) for a in range(x.ndim) if a != axis
+                    ]
+                    size, fa = max(rest)
+                    if size % fsdp == 0:
+                        parts[fa] = "fsdp"
+                return NamedSharding(mesh, P(*parts))
+        return fsdp_fallback(x)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def _fsdp_spec_fn(mesh: Mesh):
+    """Shape-driven per-leaf spec: largest divisible axis over fsdp."""
+    fsdp = mesh.shape.get("fsdp", 1)
 
     def spec(x):
         if fsdp == 1 or x.ndim == 0:
@@ -119,4 +172,16 @@ def fsdp_param_sharding(mesh: Mesh, params):
             return NamedSharding(mesh, P(*parts))
         return NamedSharding(mesh, P())
 
-    return jax.tree.map(spec, params)
+    return spec
+
+
+def fsdp_param_sharding(mesh: Mesh, params):
+    """Shard each leaf's largest axis over the fsdp axis when it divides
+    evenly; replicate otherwise (simple ZeRO-3-style layout).
+
+    The spec is purely shape-driven, so applying this to the optimizer
+    state and EMA shadow gives Adam mu/nu and the shadow the *same* layout
+    as their parameter — apply it to the whole TrainState, not just
+    params, or the fsdp axis saves negative memory (moments are ~2x param
+    bytes)."""
+    return jax.tree.map(_fsdp_spec_fn(mesh), params)
