@@ -17,6 +17,8 @@ from unidepth_tpu.geometry.cameras import (
 from unidepth_tpu.geometry.coords import coords_grid
 from unidepth_tpu.geometry.rays import generate_rays, spherical_zbuffer_to_euclidean
 
+pytestmark = pytest.mark.smoke
+
 
 def _pinhole(b=2):
     params = np.array([[300.0, 310.0, 160.0, 120.0]] * b, np.float32)

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 
 from unidepth_tpu.models.unidepthv2.model import UniDepthV2
 
+pytestmark = pytest.mark.slow
+
 CFG = json.loads(
     (Path(__file__).resolve().parents[1] / "configs/config_v2_vits14.json").read_text()
 )

@@ -18,6 +18,8 @@ import pytest
 
 import jax
 
+pytestmark = pytest.mark.slow
+
 ROOT = Path(__file__).resolve().parents[1]
 FIXTURE = json.loads((ROOT / "tests/fixtures/reference_state_dict_keys.json").read_text())
 

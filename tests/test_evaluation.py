@@ -8,6 +8,10 @@ import jax.numpy as jnp
 from unidepth_tpu.ops.knn import chamfer_distance, nn_distances
 from unidepth_tpu.utils.evaluation import eval_3d, eval_depth
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def test_depth_metrics_match_reference_definitions(rng):
     gt = rng.uniform(0.5, 10, (2, 24, 32, 1)).astype(np.float32)

@@ -13,6 +13,8 @@ from unidepth_tpu.models.backbones.dinov2 import ViTConfig
 from unidepth_tpu.models.unidepthv2.model import UniDepthV2
 from unidepth_tpu.models.unidepthv2.export import export_forward
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny():

@@ -9,6 +9,10 @@ import jax.numpy as jnp
 
 from unidepth_tpu.ops.fourier import generate_fourier_features, position_embedding_sine
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def _torch_fourier(x, dim, max_freq, use_cos=False, use_log=False, cat_orig=False):
     # re-implementation of reference utils/positional_embedding.py:218-256

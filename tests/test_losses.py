@@ -6,6 +6,10 @@ import torch
 import jax
 import jax.numpy as jnp
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 from unidepth_tpu.training.losses import (
     FNS,
     Confidence,

@@ -9,6 +9,10 @@ from unidepth_tpu.training.ema import ema_init, ema_update
 from unidepth_tpu.training.optim import build_optimizer, lr_scale_tree, wd_mask_tree
 from unidepth_tpu.training.schedules import betas_schedule, cosine_warmup
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def test_cosine_warmup_endpoints():
     s = cosine_warmup(1e-4, 1e-6, warmup_iters=100, total_iters=1000, init_value=0.0)

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 
 from unidepth_tpu.ops.resize import flat_interpolate, resize
 
+pytestmark = pytest.mark.smoke
+
 
 def _torch_resize(x_nchw, size, mode, align_corners, antialias):
     kwargs = {}

@@ -17,6 +17,8 @@ from unidepth_tpu.models.unidepthv2.model import UniDepthV2
 from unidepth_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from unidepth_tpu.utils.validation import validate
 
+pytestmark = pytest.mark.slow
+
 CFG = json.loads(
     (Path(__file__).resolve().parents[1] / "configs/config_v2_vits14.json").read_text()
 )

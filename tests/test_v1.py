@@ -14,6 +14,8 @@ from unidepth_tpu.nn.nystrom import nystrom_attention
 from unidepth_tpu.ops.attention import sdpa
 from unidepth_tpu.ops.sht import rsh_cart
 
+pytestmark = pytest.mark.slow
+
 
 def test_sht_low_degree_constants(rng):
     """Values against the published torch-spherical-harmonics polynomial

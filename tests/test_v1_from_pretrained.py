@@ -12,6 +12,10 @@ from unidepth_tpu.models.unidepthv1.model import UniDepthV1
 
 from torch_mirror import MirrorV1Decoder, MirrorViT
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 DIM, DEPTH, HEADS, HIDDEN = 32, 4, 2, 32
 
 

@@ -8,6 +8,10 @@ import pytest
 
 import jax.numpy as jnp
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from unidepth_tpu.models.unidepthv2.model import (
     UniDepthV2,
     get_paddings,

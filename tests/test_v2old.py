@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from unidepth_tpu.models.backbones.dinov2 import ViTConfig
 from unidepth_tpu.models.unidepthv2.old import UniDepthV2old
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def v2old_tiny():
