@@ -10,6 +10,7 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -96,6 +97,12 @@ def main():
     mesh = make_mesh(fsdp=args.fsdp, tp=args.tp)
     n_dev = len(jax.devices())
     print(f"devices: {n_dev}, mesh: {dict(mesh.shape)}")
+
+    if args.tp > 1:
+        # The Pallas flash kernel has no GSPMD partitioning rule, so under
+        # head-parallel tp the encoder must use XLA attention (which the
+        # partitioner shards along the head axis for free).
+        os.environ.setdefault("UNIDEPTH_ATTN_IMPL", "xla")
 
     # Model family follows config model.name (reference train.py resolves the
     # class by string): V1 is a fixed-image-shape model, V2 shape-bucketed.
