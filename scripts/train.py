@@ -231,19 +231,27 @@ def main():
     )
     val_names = config["data"].get("val_datasets", [])
 
+    # datasets are built once (HDF5 open + split parse); _val_loaders() only
+    # wraps fresh single-use batch generators around them per interval
+    _val_datasets = {}
+
     def _val_loaders():
         names = val_names if (val_names and not args.dummy_data) else ["Dummy"]
         out = {}
         for name in names:
-            if name == "Dummy" or args.dummy_data:
-                ds = Dummy(image_shape=image_shape, length=2 * local_bs)
-            else:
-                ds = make_dataset(
-                    name,
-                    data_root=args.data_root,
-                    test_mode=True,
-                    image_shape=image_shape,
-                )
+            if name not in _val_datasets:
+                if name == "Dummy" or args.dummy_data:
+                    _val_datasets[name] = Dummy(
+                        image_shape=image_shape, length=2 * local_bs
+                    )
+                else:
+                    _val_datasets[name] = make_dataset(
+                        name,
+                        data_root=args.data_root,
+                        test_mode=True,
+                        image_shape=image_shape,
+                    )
+            ds = _val_datasets[name]
 
             def gen(ds=ds):
                 batch = []
@@ -261,6 +269,11 @@ def main():
 
     n_iters = args.steps or tr.get("n_iters", 300000)
     key = jax.random.key(args.seed)
+
+    # compiled once and reused every validation interval (a fresh
+    # jax.jit(lambda) per interval would recompile the full forward)
+    art_forward = jax.jit(lambda p, x, r: model.encode_decode(p, x, rays_gt=r))
+
     t0 = time.time()
     batches = device_prefetch(loader, bshard, size=2)
     for step, batch in zip(range(start_step, n_iters), batches):
@@ -284,21 +297,22 @@ def main():
             from unidepth_tpu.utils.visualization import log_train_artifacts
 
             art_name, art_loader = next(iter(_val_loaders().items()))
-            art_batch = next(iter(art_loader))
-            art_out = jax.jit(
-                lambda p, x, r: model.encode_decode(p, x, rays_gt=r)
-            )(
-                state.ema.shadow,
-                jnp.asarray(art_batch["image"]),
-                jnp.asarray(art_batch["rays"]),
-            )
-            n_cols = min(4, art_batch["image"].shape[0])
-            grid = log_train_artifacts(
-                [np.asarray(art_batch["image"][i]) for i in range(n_cols)],
-                [np.asarray(art_batch["depth"][i]) for i in range(n_cols)],
-                [np.asarray(art_out["depth"][i]) for i in range(n_cols)],
-            )
-            logger.log_image(f"{art_name}_training", grid, step + 1)
+            # a per-process val shard smaller than local_bs yields no full
+            # batch; skip the artifact quietly rather than StopIteration
+            art_batch = next(iter(art_loader), None)
+            if art_batch is not None:
+                n_cols = min(4, art_batch["image"].shape[0])
+                art_out = art_forward(
+                    state.ema.shadow,
+                    jnp.asarray(art_batch["image"][:n_cols]),
+                    jnp.asarray(art_batch["rays"][:n_cols]),
+                )
+                grid = log_train_artifacts(
+                    [np.asarray(art_batch["image"][i]) for i in range(n_cols)],
+                    [np.asarray(art_batch["depth"][i]) for i in range(n_cols)],
+                    [np.asarray(art_out["depth"][i]) for i in range(n_cols)],
+                )
+                logger.log_image(f"{art_name}_training", grid, step + 1)
 
             results = validate(
                 model, state.ema.shadow, _val_loaders(), max_iters=args.val_iters

@@ -72,10 +72,14 @@ def _expected_params(cfg_name):
 
 
 def _convert(cfg_name, sd):
+    # use_norm is threaded from the config exactly like io/hub.py does; the
+    # converters' keyword default matches from_config's default (False,
+    # reference encoder.py:150) for configs that omit it
     cfg = json.loads((ROOT / f"configs/{cfg_name}.json").read_text())
     pe = cfg["model"]["pixel_encoder"]
     name = cfg["model"]["name"]
     output_idx = tuple(pe.get("output_idx", (5, 12, 18, 24)))
+    use_norm = pe.get("use_norm", False)
     if name == "UniDepthV1":
         from unidepth_tpu.io.convert import convert_v1_state_dict
 
@@ -84,11 +88,14 @@ def _convert(cfg_name, sd):
     if name == "UniDepthV2old":
         from unidepth_tpu.io.convert import convert_v2old_state_dict
 
-        return convert_v2old_state_dict(sd, output_idx=output_idx)
+        return convert_v2old_state_dict(sd, output_idx=output_idx, use_norm=use_norm)
     from unidepth_tpu.io.convert import convert_v2_state_dict
 
     return convert_v2_state_dict(
-        sd, output_idx=output_idx, num_levels=len(cfg["model"]["pixel_decoder"]["depths"])
+        sd,
+        output_idx=output_idx,
+        num_levels=len(cfg["model"]["pixel_decoder"]["depths"]),
+        use_norm=use_norm,
     )
 
 
@@ -117,7 +124,9 @@ def test_converter_accepts_module_prefix_and_model_wrapper():
     from unidepth_tpu.io.convert import convert_v2_state_dict
 
     sd = {f"module.{k}": v for k, v in _synth_sd("config_v2_vits14").items()}
-    converted = convert_v2_state_dict({"model": sd}, output_idx=(3, 6, 9, 12))
+    converted = convert_v2_state_dict(
+        {"model": sd}, output_idx=(3, 6, 9, 12), use_norm=True
+    )
     expected = _expected_params("config_v2_vits14")
     _assert_same_structure(converted, expected, "module+model wrapper")
 

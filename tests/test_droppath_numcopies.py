@@ -55,6 +55,43 @@ def test_drop_path_stochastic_at_train_deterministic_at_eval(rng):
     assert not np.array_equal(a, eval_out)
 
 
+def test_convnext_drop_path_stochastic_at_train(rng):
+    """ConvNeXt backbones get the same stochastic-depth treatment as the
+    ViTs (reference passes drop_path into the timm ConvNeXt,
+    reference encoder.py:133); before round 2 a config drop_path was
+    silently ignored on the convnext branch."""
+    from unidepth_tpu.models.backbones.convnext import ConvNeXt, ConvNeXtConfig
+
+    cfg = ConvNeXtConfig(
+        depths=(2, 2), dims=(16, 32), drop_path_rate=0.5
+    )
+    net = ConvNeXt(cfg=cfg, dtype=jnp.float32)
+    img = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    variables = net.init(jax.random.key(0), img)
+
+    def run(train, seed=0):
+        feats, _ = net.apply(
+            variables, img, train, rngs={"droppath": jax.random.key(seed)}
+        )
+        return np.asarray(feats[-1])
+
+    eval_out = np.asarray(net.apply(variables, img)[0][-1])
+    np.testing.assert_array_equal(run(False, 0), eval_out)
+    a, b = run(True, 0), run(True, 1)
+    assert not np.array_equal(a, b)
+    assert np.isfinite(a).all()
+    assert not np.array_equal(a, eval_out)
+
+    # the V1 model picks the rate up from the config for convnext encoders
+    from unidepth_tpu.models.unidepthv1.model import UniDepthV1
+
+    v1cfg = json.loads((ROOT / "configs/config_v1_cnvnxtl.json").read_text())
+    v1cfg = json.loads(json.dumps(v1cfg))
+    v1cfg.setdefault("training", {})["drop_path"] = 0.2
+    model = UniDepthV1.from_config(v1cfg, dtype=jnp.float32)
+    assert model.drop_path_rate == 0.2
+
+
 def _fake_hdf5(tmp_path, n=6, hw=(80, 100)):
     rng = np.random.default_rng(0)
     with h5py.File(tmp_path / "fake.hdf5", "w") as f:
@@ -81,13 +118,20 @@ def _fake_hdf5(tmp_path, n=6, hw=(80, 100)):
 def test_num_copies_interleaves_same_base_sample(tmp_path):
     ds = _fake_hdf5(tmp_path)
     seen = []
+    reads = []
     orig = ds.get_single_item
+    orig_read = ds._read
 
-    def spy(idx, rng, image_shape=None):
+    def spy(idx, rng, image_shape=None, base=None):
         seen.append(idx)
-        return orig(idx, rng, image_shape=image_shape)
+        return orig(idx, rng, image_shape=image_shape, base=base)
+
+    def spy_read(idx):
+        reads.append(idx)
+        return orig_read(idx)
 
     ds.get_single_item = spy
+    ds._read = spy_read
     loader = Loader(
         WeightedConcat([ds]), batch_size=4, accum=1, num_threads=0,
         num_copies=2, seed=0,
@@ -99,6 +143,9 @@ def test_num_copies_interleaves_same_base_sample(tmp_path):
     assert seen[0] == seen[1] and seen[2] == seen[3]
     # independent augmentation draws: the two copies differ
     assert not np.array_equal(batch["image"][0], batch["image"][1])
+    # ...but the HDF5 read + PNG decode ran only once per base sample
+    # (copies re-run the augmentation pipeline on a deep copy)
+    assert len(reads) == 2
 
     with pytest.raises(ValueError, match="num_copies"):
         Loader(WeightedConcat([ds]), batch_size=3, num_copies=2)

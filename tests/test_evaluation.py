@@ -120,3 +120,28 @@ def test_knn_points_general_k_matches_numpy(rng):
         assert gathered.shape == (B, P1, K, D)
         for b in range(B):
             np.testing.assert_allclose(gathered[b], y[b][idx[b]], atol=0)
+
+
+def test_knn_points_underfull_cloud_zero_fills(rng):
+    """A cloud with fewer than k valid points must zero-fill the surplus
+    dists/idx slots (PyTorch3D padding semantics, reference
+    ops/knn/functions/knn.py:113) instead of returning inf distances and
+    indices into padding rows."""
+    from unidepth_tpu.ops.knn import knn_points
+
+    B, P1, P2, D, K = 1, 11, 9, 3, 8
+    x = rng.standard_normal((B, P1, D)).astype(np.float32)
+    y = rng.standard_normal((B, P2, D)).astype(np.float32)
+    n_valid = 3  # < K
+    yv = np.arange(P2)[None, :] < n_valid
+
+    d2, idx = knn_points(jnp.asarray(x), jnp.asarray(y), y_valid=jnp.asarray(yv), k=K)
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    assert np.all(np.isfinite(d2))
+    assert np.all(d2[:, :, n_valid:] == 0.0)
+    assert np.all(idx[:, :, n_valid:] == 0)
+    # the leading n_valid slots still hold the true neighbors
+    full = ((x[0, :, None, :] - y[0, None, :n_valid, :]) ** 2).sum(-1)
+    ref = np.sort(full, axis=-1)
+    np.testing.assert_allclose(d2[0, :, :n_valid], ref, rtol=1e-4, atol=1e-5)
+    assert np.all(idx[:, :, :n_valid] < n_valid)

@@ -129,8 +129,14 @@ def test_check_batch_divisibility():
     assert check_batch_divisibility(32, 2, 8) == 16
     with pytest.raises(ValueError, match="not divisible by process_count"):
         check_batch_divisibility(9, 2, 4)
-    with pytest.raises(ValueError, match="not divisible by .* local"):
+    with pytest.raises(ValueError, match="not divisible by the"):
         check_batch_divisibility(12, 1, 8)
+    # no silent inflation: a configured batch smaller than the device count
+    # must fail, not quietly run at n_dev images
+    with pytest.raises(ValueError, match="not divisible by the"):
+        check_batch_divisibility(4, 1, 8)
+    with pytest.raises(ValueError, match="not divisible by the"):
+        check_batch_divisibility(16, 2, 16)
 
 
 def test_initialize_distributed_gating(monkeypatch):

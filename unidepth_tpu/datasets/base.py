@@ -11,6 +11,7 @@ pipeline transforms (datasets/pipelines.py) and the loader.
 
 from __future__ import annotations
 
+import copy
 import io
 import os
 from typing import Any
@@ -184,10 +185,20 @@ class HDF5Dataset:
             "dataset": self.spec.name,
         }
 
+    def read_base(self, idx: int) -> dict | None:
+        """Decoded-but-unaugmented sample for num_copies replication (the
+        loader decodes once and re-augments per copy). Subclasses whose
+        samples are not a single decoded dict return None to opt out."""
+        return self._read(idx)
+
     def get_single_item(
-        self, idx: int, rng: np.random.Generator, image_shape=None
+        self, idx: int, rng: np.random.Generator, image_shape=None, base=None
     ) -> dict:
-        sample = self._read(idx)
+        """``base``: optional pre-read sample (a ``_read(idx)`` result) so
+        num_copies replication re-runs only the augmentation pipeline, not
+        the HDF5 read + PNG decode (reference base_dataset.py:273 replicates
+        the decoded sample). Deep-copied — transforms may mutate arrays."""
+        sample = copy.deepcopy(base) if base is not None else self._read(idx)
         if self.pre_cropper is not None:
             sample = self.pre_cropper(sample, rng)
         sample = self.resizer(sample, rng, image_shape=image_shape)

@@ -179,8 +179,18 @@ class Loader:
                 # interleaved — the layout SelfDistill consumes (reference
                 # base_dataset.py:273 replicate + losses/distill.py pairing)
                 ds, idx = self.dataset.sample(rng)
+                # decode once per base sample: copies re-run only the
+                # augmentation pipeline on a deep copy (PNG decode dominates
+                # loader cost; reference base_dataset.py:273 replicate)
+                base = (
+                    ds.read_base(idx)
+                    if self.num_copies > 1 and hasattr(ds, "read_base")
+                    else None
+                )
                 for _ in range(self.num_copies):
-                    if hasattr(ds, "get_single_item"):
+                    if base is not None:
+                        s = ds.get_single_item(idx, rng, image_shape=shape, base=base)
+                    elif hasattr(ds, "get_single_item"):
                         s = ds.get_single_item(idx, rng, image_shape=shape)
                     else:
                         s = ds[idx]

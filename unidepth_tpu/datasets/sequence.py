@@ -125,8 +125,13 @@ class SequenceHDF5Dataset(HDF5Dataset):
             out["flow_bwd"], out["flow_bwd_mask"] = flow_bwd
         return out
 
+    def read_base(self, idx: int) -> None:
+        # sequence samples decode a frame *set* chosen per draw (fps
+        # resampling), so there is no single decoded dict to replicate
+        return None
+
     def get_single_item(
-        self, idx: int, rng: np.random.Generator, image_shape=None
+        self, idx: int, rng: np.random.Generator, image_shape=None, base=None
     ) -> dict | list[dict]:
         seq_name, n = self.samples[idx]
         frames_meta = self.sequences.get(seq_name)

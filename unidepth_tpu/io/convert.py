@@ -98,7 +98,7 @@ def convert_encoder(
     sd: dict,
     output_idx: tuple[int, ...],
     num_register_tokens: int = 0,
-    use_norm: bool = True,
+    use_norm: bool = True,  # standalone-backbone default, matches ViTConfig
 ) -> dict:
     """DINOv2 ViT weights -> DinoViT params (models/backbones/dinov2.py).
 
@@ -233,7 +233,7 @@ def convert_v2_state_dict(
     output_idx: tuple[int, ...],
     num_levels: int = 3,
     num_register_tokens: int = 0,
-    use_norm: bool = True,
+    use_norm: bool = False,  # matches from_config default (reference encoder.py:150)
 ) -> dict:
     """Full UniDepthV2 torch state dict -> {'encoder', 'decoder'} pytree."""
     sd = _normalize_root(state_dict)
@@ -515,7 +515,7 @@ def convert_v2old_state_dict(
     state_dict: Mapping[str, np.ndarray],
     output_idx: tuple[int, ...] = (21, 22, 23, 24),
     num_register_tokens: int = 0,
-    use_norm: bool = True,
+    use_norm: bool = False,  # matches from_config default (reference encoder.py:150)
 ) -> dict:
     sd = _normalize_root(state_dict)
     enc = {k[len("pixel_encoder."):]: v for k, v in sd.items() if k.startswith("pixel_encoder.")}

@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from unidepth_tpu.nn.conv import Conv2d
@@ -64,7 +65,11 @@ class ConvNeXtBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, _=None):
+    def __call__(self, x, rate=None):
+        """``rate``: optional per-block stochastic-depth rate threaded as a
+        scanned input at train time (None = eval / drop_path 0), like the
+        ViT blocks (dinov2.py:76); reference ConvNeXt threads timm
+        drop_path rates the same way (reference convnext.py:130-226)."""
         inp = x
         x = Conv2d(
             self.dim,
@@ -88,6 +93,10 @@ class ConvNeXtBlock(nn.Module):
                 "gamma", nn.initializers.constant(self.ls_init), (self.dim,)
             )
             x = x * gamma.astype(self.dtype)
+        if rate is not None:
+            from unidepth_tpu.nn.layers import drop_path
+
+            x = drop_path(x, rate, self.make_rng("droppath"), deterministic=False)
         out = inp + x
         return out, out
 
@@ -98,7 +107,10 @@ class ConvNeXt(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, image: jnp.ndarray):
+    def __call__(self, image: jnp.ndarray, train: bool = False):
+        """``train=True`` enables stochastic depth when cfg.drop_path_rate
+        > 0 (linear ramp over all blocks, timm convention mirrored by the
+        reference backbone)."""
         cfg = self.cfg
         x = nn.Conv(
             cfg.dims[0], kernel_size=(4, 4), strides=(4, 4), padding="VALID",
@@ -111,6 +123,13 @@ class ConvNeXt(nn.Module):
         tokens: list[jnp.ndarray] = []
         tail_tokens: list[jnp.ndarray] = []
         num_stages = len(cfg.depths)
+        use_dp = train and cfg.drop_path_rate > 0.0
+        dpr = (
+            np.linspace(0.0, cfg.drop_path_rate, sum(cfg.depths))
+            if use_dp
+            else None
+        )
+        block0 = 0
         for si, (depth, dim) in enumerate(zip(cfg.depths, cfg.dims)):
             if si > 0:
                 x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name=f"down_norm_{si}")(x)
@@ -121,13 +140,19 @@ class ConvNeXt(nn.Module):
             Scanned = nn.scan(
                 nn.remat(ConvNeXtBlock),
                 variable_axes={"params": 0},
-                split_rngs={"params": True},
+                split_rngs={"params": True, "droppath": True},
                 length=depth,
                 metadata_params={nn.meta.PARTITION_NAME: None},
             )
+            rates = (
+                jnp.asarray(dpr[block0 : block0 + depth], jnp.float32)
+                if use_dp
+                else None
+            )
+            block0 += depth
             x, ys = Scanned(
                 dim=dim, use_grn=cfg.use_grn, dtype=self.dtype, name=f"stage_{si}"
-            )(x, None)
+            )(x, rates)
             if self.stacking == "max_cls":
                 feats.append(jnp.max(ys, axis=0))
                 # pooled tokens of the tail blocks (last num_stages overall)

@@ -70,6 +70,10 @@ class UniDepthV1:
         self.encoder = encoder_module or DinoViT(
             cfg=encoder_cfg, stacking="max_cls", dtype=dtype
         )
+        # stochastic-depth rate regardless of backbone family (ViTConfig and
+        # ConvNeXtConfig both carry drop_path_rate)
+        _cfg = encoder_cfg if encoder_cfg is not None else getattr(self.encoder, "cfg", None)
+        self.drop_path_rate = float(getattr(_cfg, "drop_path_rate", 0.0) or 0.0)
         num_levels = 4
         self.decoder = DecoderV1(
             input_dims=(encoder_cfg.embed_dim,) * num_levels
@@ -97,7 +101,14 @@ class UniDepthV1:
                 ConvNeXt,
             )
 
-            ccfg = CONVNEXT_PRESETS[enc_name]
+            import dataclasses as _dc
+
+            ccfg = _dc.replace(
+                CONVNEXT_PRESETS[enc_name],
+                drop_path_rate=config["model"]["pixel_encoder"].get(
+                    "drop_path", config.get("training", {}).get("drop_path", 0.0)
+                ),
+            )
             if dtype is None:
                 dtype = (
                     jnp.bfloat16
@@ -167,11 +178,7 @@ class UniDepthV1:
         self, params, image, rays_gt=None, K_gt=None, skip_camera=False, rng=None
     ):
         _, h, w, _ = image.shape
-        train = (
-            rng is not None
-            and self.encoder_cfg is not None
-            and self.encoder_cfg.drop_path_rate > 0.0
-        )
+        train = rng is not None and self.drop_path_rate > 0.0
         feats, cls_tokens = self.encoder.apply(
             {"params": params["encoder"]},
             image.astype(self.dtype),

@@ -67,7 +67,14 @@ def _chunk_topk_dists(xc, y, y_valid, k: int):
     d2 = x2 + y2 - 2.0 * xy
     d2 = jnp.where(y_valid[None, :], d2, jnp.inf)
     neg, idx = jax.lax.top_k(-d2, k)
-    return jnp.maximum(-neg, 0.0), idx
+    # clouds with fewer than k valid points: zero-fill dists and idx past
+    # the valid count, matching PyTorch3D knn_points padding semantics
+    # (reference ops/knn/functions/knn.py:113)
+    sel_valid = neg > -jnp.inf
+    return (
+        jnp.where(sel_valid, jnp.maximum(-neg, 0.0), 0.0),
+        jnp.where(sel_valid, idx, 0),
+    )
 
 
 def knn_topk(

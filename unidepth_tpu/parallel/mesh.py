@@ -39,12 +39,14 @@ def check_batch_divisibility(batch_size: int, n_proc: int, n_dev: int) -> int:
         raise ValueError(
             f"batch_size {batch_size} not divisible by process_count {n_proc}"
         )
-    local_bs = max(batch_size // n_proc, n_dev)
+    local_bs = batch_size // n_proc
     if local_bs % n_dev != 0:
+        # no silent rounding-up: inflating to the device count would run a
+        # larger global batch than configured
         raise ValueError(
-            f"per-process batch {local_bs} not divisible by {n_dev} local "
-            f"devices; pick batch_size so that batch_size/process_count is "
-            f"a multiple of the device count"
+            f"per-process batch {local_bs} not divisible by the {n_dev} "
+            f"batch-shard devices; pick batch_size so that "
+            f"batch_size/process_count is a multiple of the device count"
         )
     return local_bs
 
