@@ -50,10 +50,23 @@ def main():
 
     warnings.filterwarnings("ignore")
     cfg = json.loads(Path(args.config).read_text())
-    model = UniDepthV2.from_config(cfg)
-    model.init_params(seed=0, image_shape=(126, 126))
-    params = model._serving_params()
-    B, H, W, N = args.batch, args.size, args.size, max(1, args.iters)
+    is_v1 = cfg.get("model", {}).get("name") == "UniDepthV1"
+    if is_v1:
+        from unidepth_tpu.models.unidepthv1.model import UniDepthV1
+
+        model = UniDepthV1.from_config(cfg)
+        model.init_params(seed=0)
+        params = (
+            model._serving_params() if hasattr(model, "_serving_params") else model.params
+        )
+        B, N = args.batch, max(1, args.iters)
+        # V1 runs at its fixed network shape (reference unidepthv1.py:309)
+        H, W = model.image_shape
+    else:
+        model = UniDepthV2.from_config(cfg)
+        model.init_params(seed=0, image_shape=(126, 126))
+        params = model._serving_params()
+        B, H, W, N = args.batch, args.size, args.size, max(1, args.iters)
     rgb = jnp.asarray(
         np.random.default_rng(0).standard_normal((B, H, W, 3)), jnp.float32
     )

@@ -31,7 +31,9 @@ def bundle():
         dim=DIM, depth=DEPTH, heads=HEADS, hidden_dim=HIDDEN, out_dim=OUT_DIM
     ).eval()
     sd = {k: v.detach().numpy() for k, v in mirror.state_dict().items()}
-    params = convert_v2_state_dict(sd, output_idx=(1, 2, 3, 4), num_levels=3)
+    params = convert_v2_state_dict(
+        sd, output_idx=(1, 2, 3, 4), num_levels=3, use_norm=True
+    )
 
     enc_cfg = ViTConfig(
         embed_dim=DIM,
