@@ -98,6 +98,7 @@ def main():
         1,
         3,
     )
+    Path(args.output).parent.mkdir(parents=True, exist_ok=True)
     Image.fromarray(panel).save(args.output)
     print(f"saved {args.output}; predicted K:\n{np.asarray(out['intrinsics'][0])}")
 
