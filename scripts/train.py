@@ -210,7 +210,12 @@ def main():
         seed=args.seed + jax.process_index(),
         num_copies=config["data"].get("num_copies", 1),
     )
-    bshard = NamedSharding(mesh, P(None, ("data", "fsdp")))
+    # accum > 1: leaves are (accum, batch, ...) — shard axis 1; accum == 1:
+    # the Loader emits flat (batch, ...) — shard axis 0 (train_step promotes
+    # the accum axis internally)
+    bshard = NamedSharding(
+        mesh, P(None, ("data", "fsdp")) if accum > 1 else P(("data", "fsdp"))
+    )
 
     from unidepth_tpu.utils.logging import MetricLogger
 

@@ -114,7 +114,7 @@ class MirrorViT(nn.Module):
         self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
         self.pos_embed = nn.Parameter(torch.randn(1, pos_grid * pos_grid + 1, dim) * 0.02)
         self.blocks = nn.ModuleList([MirrorViTBlock(dim, heads) for _ in range(depth)])
-        self.norm = nn.LayerNorm(dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)  # reference dinov2.py:167
 
     def forward(self, x):
         b, _, H, W = x.shape

@@ -179,35 +179,51 @@ class Loader:
                 # interleaved — the layout SelfDistill consumes (reference
                 # base_dataset.py:273 replicate + losses/distill.py pairing)
                 ds, idx = self.dataset.sample(rng)
-                # decode once per base sample: copies re-run only the
-                # augmentation pipeline on a deep copy (PNG decode dominates
-                # loader cost; reference base_dataset.py:273 replicate)
-                base = (
-                    ds.read_base(idx)
-                    if self.num_copies > 1 and hasattr(ds, "read_base")
-                    else None
-                )
-                for _ in range(self.num_copies):
-                    if base is not None:
-                        s = ds.get_single_item(idx, rng, image_shape=shape, base=base)
-                    elif hasattr(ds, "get_single_item"):
-                        s = ds.get_single_item(idx, rng, image_shape=shape)
-                    else:
-                        s = ds[idx]
-                    samples.append(s)
+                samples.extend(self._fetch_copies(ds, idx, None, rng, shape))
             micro.append(collate(samples))
         if self.accum == 1:
             return micro[0]
         return {k: np.stack([m[k] for m in micro]) for k in micro[0]}
 
+    def _fetch_copies(self, ds, idx, base, rng, shape) -> list[dict]:
+        """Fetch num_copies draws of one sample, retrying with a random
+        index on any error (the reference's fault tolerance lives in
+        __getitem__, image_dataset.py:161-171 — this path calls
+        get_single_item directly, so the retry must live here; a bad
+        sample must not kill a worker thread)."""
+        for _ in range(8):
+            try:
+                if base is None and self.num_copies > 1 and hasattr(ds, "read_base"):
+                    base = ds.read_base(idx)
+                out = []
+                for _ in range(self.num_copies):
+                    if base is not None:
+                        out.append(
+                            ds.get_single_item(idx, rng, image_shape=shape, base=base)
+                        )
+                    elif hasattr(ds, "get_single_item"):
+                        out.append(ds.get_single_item(idx, rng, image_shape=shape))
+                    else:
+                        out.append(ds[idx])
+                return out
+            except Exception:
+                idx = int(rng.integers(0, len(ds)))
+                base = None
+        raise RuntimeError(f"loader: failed to fetch any sample from {ds}")
+
     def _worker(self, tid: int):
         rng = np.random.default_rng(self.seed + 1000 * tid)
         while not self._stop.is_set():
             batch = self._make_batch(rng)
-            try:
-                self._q.put(batch, timeout=1.0)
-            except queue.Full:
-                continue
+            # keep offering the SAME batch until consumed — discarding a
+            # fully decoded+augmented batch on queue.Full would burn host
+            # CPU rebuilding batches whenever decode outpaces the step
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self):
         if self.num_threads <= 0:

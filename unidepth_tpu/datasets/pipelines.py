@@ -246,6 +246,20 @@ class RandomFlip:
                 sample["depth"] = sample["depth"][:, ::-1].copy()
             if "validity" in sample:
                 sample["validity"] = sample["validity"][:, ::-1].copy()
+            # dense GT maps ride like depth; flow u (and point-map x) flips
+            # sign under a horizontal mirror (reference transforms.py:142-148
+            # hflips every gt_field and negates the flow u component)
+            if "points" in sample:
+                p = sample["points"][:, ::-1].copy()
+                p[..., 0] = -p[..., 0]
+                sample["points"] = p
+            for fk in ("flow_fwd", "flow_bwd"):
+                if fk in sample:
+                    fl = sample[fk][:, ::-1].copy()
+                    fl[..., 0] = -fl[..., 0]
+                    sample[fk] = fl
+                if fk + "_mask" in sample:
+                    sample[fk + "_mask"] = sample[fk + "_mask"][:, ::-1].copy()
             K = sample["K"].copy()
             K[0, 2] = sample["image"].shape[1] - K[0, 2]
             sample["K"] = K

@@ -72,6 +72,8 @@ _ROWS = [
     ("ARKit", "sequence", 0.01, 10.0, 1000.0, ("ARKitS.hdf5",), "Training.txt", "Training.txt", {}),
     ("ASE", "sequence", 0.01, 20.0, 1000.0, ("ASE.hdf5",), "train.txt", "val.txt", {}),
     ("BDD", "image", 0.01, 70.0, 256.0, ("BDD.hdf5",), "train_clean.txt", "val.txt", {}),
+    # split names look swapped but match the reference verbatim
+    # (reference datasets/bedlam.py:10-11: train_split="val.txt")
     ("BEDLAM", "sequence", 0.01, 256.0, 1000.0, ("BEDLAM.hdf5",), "val.txt", "train.txt", {}),
     ("Behave", "sequence", 0.01, 10.0, 1000.0, ("Behave.hdf5",), "train.txt", "train.txt", {}),
     ("BlendedMVG", "sequence", 0.01, 5000.0, 1000.0, ("BlendedMVG_.hdf5",), "train.txt", "train.txt", {}),

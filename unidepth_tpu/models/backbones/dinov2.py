@@ -234,7 +234,9 @@ class DinoViT(nn.Module):
         feats: list[jnp.ndarray] = []
         cls_tokens: list[jnp.ndarray] = []
         final_norm = (
-            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")
+            # eps=1e-6: DINOv2 builds ALL norms (block + final) with
+            # partial(nn.LayerNorm, eps=1e-6) (reference dinov2.py:167)
+            nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")
             if cfg.use_norm
             else None
         )

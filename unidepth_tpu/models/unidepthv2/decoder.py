@@ -114,7 +114,9 @@ class DepthHead(nn.Module):
             process.append(
                 PatchConvTranspose(
                     current_dim,
-                    scale=max(1, 2 * i),
+                    # level i's cond map must reach the 2^i-upsampled latent
+                    # grid (max(1, 2*i) coincides only for i <= 2)
+                    scale=2**i,
                     dtype=self.dtype,
                     name=f"process_features_{i}",
                 )

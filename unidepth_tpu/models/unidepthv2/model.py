@@ -33,12 +33,17 @@ def get_paddings(shape: tuple[int, int], ratio_bounds: tuple[float, float]):
     (H, W) (reference unidepthv2.py:36-58)."""
     h, w = shape
     ratio = w / h
-    target = min(ratio_bounds[1], max(ratio_bounds[0], ratio))
-    if ratio > target:  # too wide: pad vertically
-        new_h = int(w / target)
+    if ratio_bounds[0] <= ratio <= ratio_bounds[1]:
+        # already in the interval: no padding. (Computing the target shape
+        # with int(h * ratio) here can truncate to w-1 and yield a NEGATIVE
+        # pad — the torch reference silently crops a pixel through F.pad,
+        # jnp.pad would raise.)
+        return (0, 0, 0, 0), (h, w)
+    if ratio > ratio_bounds[1]:  # too wide: pad vertically
+        new_h = max(h, math.ceil(w / ratio_bounds[1]))
         pt = (new_h - h) // 2
         return (0, 0, pt, new_h - h - pt), (new_h, w)
-    new_w = int(h * target)
+    new_w = max(w, math.ceil(h * ratio_bounds[0]))
     pl = (new_w - w) // 2
     return (pl, new_w - w - pl, 0, 0), (h, new_w)
 

@@ -350,9 +350,15 @@ class LocalSSI:
             math.log2(max(self.patch_size)),
             num=self.num_levels + 1,
         )
+        # the reference formula (local_ssi.py:132) multiplies 2**log_kernel
+        # by min(H, W), i.e. patch_size is a FRACTION of the image; its own
+        # (32, 32) pixel default would degenerate to a whole-image kernel.
+        # Support both conventions: values <= 1 are fractions, > 1 pixels.
+        fractional = max(self.patch_size) <= 1.0
         total = []
         for lo, hi in zip(logr[:-1], logr[1:]):
-            k = int(2 ** ((lo + hi) / 2) * min(h, w))
+            k = 2 ** ((lo + hi) / 2)
+            k = int(k * min(h, w)) if fractional else int(round(k))
             k = max(2, min(k, min(h, w)))
             stride = (max(1, int(k * 0.9)),) * 2
             if rng is not None:

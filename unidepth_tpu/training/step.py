@@ -111,7 +111,12 @@ def make_train_step(model, optimizer, config: dict, recipe=None):
         )
 
     def train_step(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
-        """batch leaves have shape (accum, micro_batch, ...)."""
+        """batch leaves have shape (accum, micro_batch, ...); a flat
+        (batch, ...) layout — what the Loader emits when accum == 1 — is
+        promoted to accum=1, instead of mis-scanning the batch axis as
+        accumulation steps."""
+        if batch["image"].ndim == 4:
+            batch = jax.tree.map(lambda x: x[None], batch)
         grad_fn = jax.grad(loss_fn, has_aux=True)
 
         def micro(grads_acc, inp):
