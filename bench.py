@@ -19,6 +19,9 @@ model FLOPs / (v5e bf16 peak * 45% assumed MXU utilization).
 import json
 import time
 import warnings
+from pathlib import Path
+
+_ROOT = Path(__file__).resolve().parent
 
 
 def _roofline_target(tokens: int) -> float:
@@ -41,10 +44,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from unidepth_tpu.models.unidepthv2.model import UniDepthV2, get_paddings, get_resize_factor
+    from unidepth_tpu.models.unidepthv2.model import UniDepthV2
 
     warnings.filterwarnings("ignore")
-    cfg = json.loads(open("configs/config_v2_vitl14.json").read())
+    cfg = json.loads((_ROOT / "configs/config_v2_vitl14.json").read_text())
     model = UniDepthV2.from_config(cfg)  # bf16 compute on TPU
     B, H, W = 8, 518, 518
     model.init_params(seed=0, image_shape=(126, 126))
@@ -53,15 +56,10 @@ def main():
         np.random.default_rng(0).standard_normal((B, H, W, 3)), jnp.float32
     )
 
-    # The serving shape bucket infer() would select for this input
-    # (resolution_level unset -> full pixel bounds), depth-only outputs.
-    pads, padded = get_paddings((H, W), model.shape_constraints["ratio_bounds"])
-    factor, new_hw = get_resize_factor(
-        padded,
-        (model.shape_constraints["pixels_min"], model.shape_constraints["pixels_max"]),
-        model.shape_constraints["shape_mult"],
-    )
-    key = (H, W, pads, padded, new_hw, factor, False, True, ("depth",))
+    # The EXACT serving shape bucket infer() would select for this input
+    # (resolution_level unset -> full pixel bounds), depth-only outputs —
+    # shared helper, so the bench can't drift from the real serving program.
+    key = model.serving_shape_key((H, W), outputs=("depth",))
     run = model._build_run(key)
 
     N = 10
@@ -88,6 +86,7 @@ def main():
     dt = time.perf_counter() - t0
     ips = B * N / dt
 
+    new_hw = key[4]  # network resolution selected by the bucket
     tokens = (new_hw[0] // 14) * (new_hw[1] // 14)
     target = _roofline_target(tokens)
     print(

@@ -87,9 +87,17 @@ def main():
 
     if Path(args.depth).exists():
         gt = np.asarray(Image.open(args.depth)).astype(float) / 1000.0
-        valid = gt > 0
-        arel = np.abs(gt[valid] - depth_pred[valid]) / gt[valid]
-        print(f"ARel: {arel.mean() * 100:.2f}%")
+        if gt.shape != depth_pred.shape:
+            # possible when the RGB asset was missing and a synthetic image
+            # stood in — the GT no longer matches the prediction grid
+            print(
+                f"GT depth {gt.shape} does not match prediction "
+                f"{depth_pred.shape}; skipping ARel"
+            )
+        else:
+            valid = gt > 0
+            arel = np.abs(gt[valid] - depth_pred[valid]) / gt[valid]
+            print(f"ARel: {arel.mean() * 100:.2f}%")
     else:
         print("no GT depth; skipping ARel")
 

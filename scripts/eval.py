@@ -52,11 +52,23 @@ def main():
     from unidepth_tpu.utils.validation import validate
 
     config = json.loads(Path(args.config_file).read_text())
-    if args.checkpoint:
-        model = UniDepthV2.from_pretrained(args.checkpoint)
+    # resolve the model family from config model.name like train.py does
+    # (reference train.py:111 resolves the class by string)
+    model_name = config.get("model", {}).get("name", "UniDepthV2")
+    if model_name == "UniDepthV1":
+        from unidepth_tpu.models.unidepthv1.model import UniDepthV1 as ModelCls
+    elif model_name == "UniDepthV2old":
+        from unidepth_tpu.models.unidepthv2.old import UniDepthV2old as ModelCls
     else:
-        model = UniDepthV2.from_config(config)
-        model.init_params(seed=0, image_shape=(126, 126))
+        ModelCls = UniDepthV2
+    if args.checkpoint:
+        model = ModelCls.from_pretrained(args.checkpoint)
+    else:
+        model = ModelCls.from_config(config)
+        if model_name == "UniDepthV1":
+            model.init_params(seed=0)
+        else:
+            model.init_params(seed=0, image_shape=(126, 126))
         print("!! random weights (no --checkpoint): metrics are meaningless")
 
     names = args.datasets or config["data"].get("val_datasets", [])

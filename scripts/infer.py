@@ -50,6 +50,9 @@ def main():
         model.init_params(seed=0, image_shape=(126, 126))
         print("!! random weights (no --checkpoint)")
     if args.resolution_level is not None:
+        if args.version == 1:
+            # V1 runs at its fixed network shape (reference unidepthv1.py:309)
+            print("WARNING: --resolution-level has no effect on UniDepthV1")
         model.resolution_level = args.resolution_level
 
     K = np.load(args.intrinsics) if args.intrinsics else None
@@ -75,15 +78,20 @@ def main():
             out = model.infer(imgs, **kw)
             depth = np.asarray(out["depth"])[..., 0]
             for j, p in enumerate(chunk):
+                # name outputs by the path relative to the input root so
+                # same-named files in different subfolders (the NuScenes
+                # 6-view layout) don't overwrite each other
+                rel = p.relative_to(args.input).with_suffix("")
+                stem = "_".join(rel.parts)
                 d16 = np.clip(depth[j] * 1000.0, 0, 65535).astype(np.uint16)
-                Image.fromarray(d16).save(out_dir / f"{p.stem}_depth.png")
+                Image.fromarray(d16).save(out_dir / f"{stem}_depth.png")
                 if args.save_panel:
                     panel = image_grid([imgs[j], colorize(depth[j])], 1, 2)
-                    Image.fromarray(panel).save(out_dir / f"{p.stem}_panel.png")
+                    Image.fromarray(panel).save(out_dir / f"{stem}_panel.png")
                 if args.save_ply:
                     pts = np.asarray(out["points"])[j].reshape(-1, 3)
                     cols = imgs[j].reshape(-1, 3)
-                    save_point_cloud(str(out_dir / f"{p.stem}.ply"), pts, cols)
+                    save_point_cloud(str(out_dir / f"{stem}.ply"), pts, cols)
             n_done += len(chunk)
             rate = n_done / (time.time() - t0)
             print(f"{n_done}/{len(paths)} images ({rate:.2f} img/s)")

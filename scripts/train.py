@@ -201,6 +201,18 @@ def main():
         and not args.dummy_data
         else None
     )
+    if sampler is not None and jax.process_count() > 1:
+        # per-batch shape sampling is process-local (worker rngs + queue
+        # order), so controllers would trace DIFFERENT programs for the
+        # same step and the collective launch would mismatch/hang. Until
+        # shapes are derived from the consumed step index, multi-host runs
+        # use the fixed image_shape bucket.
+        print(
+            "WARNING: per-batch shape sampling disabled under multi-process "
+            "SPMD (controllers must trace identical program shapes); using "
+            f"fixed image_shape={image_shape}"
+        )
+        sampler = None
     loader = Loader(
         WeightedConcat(datasets, sampling=config["data"].get("sampling")),
         batch_size=local_bs,
@@ -267,6 +279,12 @@ def main():
                     if len(batch) == local_bs:
                         yield collate(batch)
                         batch = []
+                if batch:
+                    # don't drop the remainder: a val shard smaller than
+                    # local_bs would otherwise yield NO batches (and under
+                    # multi-process, uneven shards would desync the metric
+                    # allgather batch counts)
+                    yield collate(batch)
 
             out[name] = gen()
         return out
@@ -289,9 +307,14 @@ def main():
             if (step + 1) % 1000 == 0:
                 logger.log(logger.memory_stats(), step + 1, prefix="sys")
             rate = (step + 1 - start_step) * batch_size * accum / (time.time() - t0)
+            # print only loss keys: the EMA dict also accumulates sys/* and
+            # val/* entries once those have been logged
+            losses_only = {
+                k: v for k, v in ema_losses.items() if "/" not in k
+            }
             print(
                 f"step {step + 1}: "
-                + " ".join(f"{k.split('/')[-1]}={v:.4f}" for k, v in sorted(ema_losses.items()))
+                + " ".join(f"{k}={v:.4f}" for k, v in sorted(losses_only.items()))
                 + f" | {rate:.1f} img/s"
             )
         if (step + 1) % tr.get("checkpoint_interval", 10000) == 0:

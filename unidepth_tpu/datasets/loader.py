@@ -246,18 +246,35 @@ class Loader:
 def device_prefetch(iterator, sharding, size: int = 2):
     """Overlap host->device transfer with compute: keep ``size`` batches
     in flight on device (the TPU analogue of DataLoader pin_memory +
-    non_blocking H2D, reference train.py:423-426)."""
+    non_blocking H2D, reference train.py:423-426).
+
+    Multi-process: each controller holds only its process-local slice of
+    the batch, so the global array must be assembled with
+    ``make_array_from_process_local_data`` — ``device_put`` would treat
+    the local slice as the GLOBAL value and silently shrink the trained
+    batch by process_count."""
     import collections
 
     import jax
     import jax.numpy as jnp
 
     queue = collections.deque()
+    multiproc = jax.process_count() > 1
 
     def put(batch):
-        queue.append(
-            {k: jax.device_put(jnp.asarray(v), sharding) for k, v in batch.items()}
-        )
+        if multiproc:
+            queue.append(
+                {
+                    k: jax.make_array_from_process_local_data(
+                        sharding, np.asarray(v)
+                    )
+                    for k, v in batch.items()
+                }
+            )
+        else:
+            queue.append(
+                {k: jax.device_put(jnp.asarray(v), sharding) for k, v in batch.items()}
+            )
 
     it = iter(iterator)
     try:

@@ -495,6 +495,34 @@ class UniDepthV2:
                 rgb, camera, normalize, pads, (padded_h, padded_w),
                 (new_h, new_w), factor,
             )
+        key = self.serving_shape_key(
+            (H, W), has_camera=camera is not None, normalize=normalize,
+            outputs=outputs,
+        )
+        fn = self._infer_fn(key)
+        return fn(self._serving_params(), rgb, camera)
+
+    def serving_shape_key(
+        self,
+        image_hw: tuple[int, int],
+        has_camera: bool = False,
+        normalize: bool = True,
+        outputs: tuple | list | None = None,
+    ):
+        """The jit-cache key infer() selects for an input shape — the single
+        source of truth for the bucket layout, shared with bench.py /
+        profilers so external callers can't drift from the serving
+        program's actual configuration. Pass the result to
+        ``_build_run``."""
+        H, W = image_hw
+        pads, (padded_h, padded_w) = get_paddings(
+            (H, W), self.shape_constraints["ratio_bounds"]
+        )
+        factor, (new_h, new_w) = get_resize_factor(
+            (padded_h, padded_w),
+            self._pixels_bounds(),
+            self.shape_constraints["shape_mult"],
+        )
         out_key = None
         if outputs is not None:
             bad = set(outputs) - set(self.INFER_OUTPUTS)
@@ -503,19 +531,17 @@ class UniDepthV2:
                     f"unknown infer outputs {sorted(bad)}; valid: {self.INFER_OUTPUTS}"
                 )
             out_key = tuple(sorted(set(outputs)))
-        key = (
+        return (
             H,
             W,
             pads,
             (padded_h, padded_w),
             (new_h, new_w),
             factor,
-            camera is not None,
+            has_camera,
             normalize,
             out_key,
         )
-        fn = self._infer_fn(key)
-        return fn(self._serving_params(), rgb, camera)
 
     # ------------------------------------------------------------------
     def encode_decode(self, params, image, rays_gt=None, rng=None):
