@@ -307,10 +307,12 @@ def main():
             if (step + 1) % 1000 == 0:
                 logger.log(logger.memory_stats(), step + 1, prefix="sys")
             rate = (step + 1 - start_step) * batch_size * accum / (time.time() - t0)
-            # print only loss keys: the EMA dict also accumulates sys/* and
-            # val/* entries once those have been logged
+            # print only train/ loss keys: the EMA dict also accumulates
+            # sys/* and val/* entries once those have been logged
             losses_only = {
-                k: v for k, v in ema_losses.items() if "/" not in k
+                k.split("/", 1)[1]: v
+                for k, v in ema_losses.items()
+                if k.startswith("train/")
             }
             print(
                 f"step {step + 1}: "

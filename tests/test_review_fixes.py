@@ -122,3 +122,97 @@ def test_local_ssi_pixel_patch_size_stays_local():
     bad = jnp.asarray(rng_np.random((2, h, w, 1)), jnp.float32)
     loss_bad = LocalSSI(weight=1.0, patch_size=(32, 32))(bad, tgt, mask)
     assert float(np.asarray(loss_bad).mean()) > float(np.asarray(loss_px).mean())
+
+
+def test_spherical_project_batch_gt_one():
+    """B>1 used to raise a broadcast ValueError ((B,1) against (B,H,W))."""
+    from unidepth_tpu.geometry.cameras import Spherical
+
+    # hfov < 2*pi so no longitude wraparound ambiguity in the round-trip
+    p = np.tile(
+        np.asarray(
+            [[100.0, 100.0, 4.0, 3.0, 8.0, 6.0, np.pi / 2, np.pi / 4]], np.float32
+        ),
+        (2, 1),
+    )
+    cam = Spherical(params=jnp.asarray(p))
+    rays = cam.get_rays(6, 8)
+    uv = cam.project(rays)
+    assert uv.shape == (2, 6, 8, 2)
+    # project(unproject(grid)) returns the grid (mutually consistent)
+    from unidepth_tpu.geometry.coords import coords_grid
+
+    grid = np.broadcast_to(np.asarray(coords_grid(6, 8)), (2, 6, 8, 2))
+    np.testing.assert_allclose(np.asarray(uv), grid, atol=1e-3)
+
+
+def test_newton_guard_preserves_det_sign():
+    """sign(det)*1e-12 + 1e-12 mapped tiny NEGATIVE determinants to exactly
+    0 and produced inf through the division; the guard must keep the sign."""
+    from unidepth_tpu.geometry.cameras import OpenCV
+
+    # strong distortion so the Jacobian determinant can go negative
+    params = np.zeros((1, 16), np.float32)
+    params[0, :4] = (50.0, 50.0, 32.0, 24.0)
+    params[0, 4] = -5.0  # aggressive k1
+    cam = OpenCV(params=jnp.asarray(params))
+    rays = np.asarray(cam.get_rays(48, 64))
+    assert np.all(np.isfinite(rays))
+
+
+def test_distorted_flip_mirrors_rays():
+    """Horizontal flip of an OpenCV camera must negate the x-even
+    distortion terms (p2, s1, s2) so flipped rays mirror exactly; the
+    reference instead truncates params to fx/fy/cx/cy on flip
+    (reference utils/camera.py:100-110)."""
+    from unidepth_tpu.geometry.cameras import OpenCV
+
+    H, W = 24, 32
+    params = np.zeros((1, 16), np.float32)
+    params[0, :4] = (40.0, 40.0, W / 2, H / 2)
+    params[0, 4] = -0.05  # k1
+    params[0, 10] = 0.01  # p1
+    params[0, 11] = 0.02  # p2
+    params[0, 12] = 0.005  # s1
+    cam = OpenCV(params=jnp.asarray(params))
+    flipped = cam.flip(H, W)
+    rays = np.asarray(cam.get_rays(H, W))
+    rays_f = np.asarray(flipped.get_rays(H, W))
+    # mirrored column order, x negated; y/z identical
+    np.testing.assert_allclose(rays_f[..., 0], -rays[:, :, ::-1, 0], atol=1e-5)
+    np.testing.assert_allclose(rays_f[..., 1], rays[:, :, ::-1, 1], atol=1e-5)
+    np.testing.assert_allclose(rays_f[..., 2], rays[:, :, ::-1, 2], atol=1e-5)
+
+
+def test_confidence_empty_mask_no_nan():
+    """A sample whose mask is entirely False must not NaN the batch loss
+    (NaN median from nanquantile used to propagate)."""
+    from unidepth_tpu.training.losses import Confidence
+
+    rng = np.random.default_rng(0)
+    b, h, w = 2, 8, 8
+    conf = jnp.asarray(rng.random((b, h, w, 1)), jnp.float32)
+    pred = jnp.asarray(rng.uniform(1, 5, (b, h, w, 1)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(1, 5, (b, h, w, 1)), jnp.float32)
+    mask = np.ones((b, h, w, 1), bool)
+    mask[1] = False  # second sample: empty mask
+    out = Confidence.build({"weight": 0.1})(conf, pred, gt, jnp.asarray(mask))
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_self_distill_per_sample_order():
+    """The (B,) loss vector must stay aligned with the interleaved
+    [s0c0, s0c1, s1c0, s1c1] batch order for per-sample weighting."""
+    from unidepth_tpu.training.losses import SelfDistill
+
+    rng = np.random.default_rng(0)
+    b, h, w = 4, 16, 16  # 2 pairs
+    depth = jnp.asarray(rng.uniform(1, 5, (b, h, w, 1)), jnp.float32)
+    mask = jnp.ones((b, h, w, 1), bool)
+    # identity crops: both copies see the same frame
+    K = jnp.broadcast_to(
+        jnp.asarray([[20.0, 0, w / 2], [0, 20.0, h / 2], [0, 0, 1]]), (b, 3, 3)
+    )
+    flips = jnp.zeros((b,), bool)
+    loss = SelfDistill(weight=0.1)(depth, K, mask, flips)
+    assert loss.shape == (b,)

@@ -232,6 +232,17 @@ def update_camera_params(sample, *, crop=None, factor=None, flip_w=None):
         cp[: 6 if spherical else 4] *= factor
     if flip_w is not None:
         cp[2] = flip_w - cp[2]
+        # x-even distortion terms flip sign under the mirror (p2, s1, s2
+        # for OpenCV/Fisheye624 at indices 11-13, p2 for MEI at 7); the
+        # reference instead TRUNCATES flipped cameras to fx/fy/cx/cy
+        # (utils/camera.py:100-110), corrupting them outright
+        model = sample.get("camera_model")
+        if model in ("OpenCV", "Fisheye624") and cp.shape[0] >= 14:
+            cp[11] = -cp[11]
+            cp[12] = -cp[12]
+            cp[13] = -cp[13]
+        elif model == "MEI" and cp.shape[0] >= 8:
+            cp[7] = -cp[7]
     sample["camera_params"] = cp
 
 

@@ -83,12 +83,26 @@ class CameraBase(struct.PyTreeNode):
         scale = scale.at[..., :4].set(factor)
         return self.replace(params=self.params * scale)
 
+    # distortion coefficients that flip sign under a mirror: under x -> -x
+    # the x-even tangential/thin-prism terms (p2, s1, s2) need negating,
+    # under y -> -y the y-even terms (p1, s3, s4). The reference's flip
+    # TRUNCATES params to (fx, fy, cx, cy) entirely (utils/camera.py:100-110)
+    # — corrupting distorted cameras — so this is deliberately more correct.
+    # plain class attributes, NOT dataclass fields (no annotation — flax
+    # struct would otherwise make them pytree-visible init fields)
+    _FLIP_NEGATE_H = ()
+    _FLIP_NEGATE_V = ()
+
     def flip(self, H, W, direction="horizontal"):
         p = self.params
         if direction == "horizontal":
             p = p.at[..., 2].set(W - p[..., 2])
+            for i in self._FLIP_NEGATE_H:
+                p = p.at[..., i].multiply(-1.0)
         else:
             p = p.at[..., 3].set(H - p[..., 3])
+            for i in self._FLIP_NEGATE_V:
+                p = p.at[..., i].multiply(-1.0)
         return self.replace(params=p)
 
     @property
@@ -207,6 +221,10 @@ class Spherical(CameraBase):
         p = self.params
         W, H = p[:, None, None, 4], p[:, None, None, 5]
         hfov, vfov = 2.0 * p[:, None, None, 6], 2.0 * p[:, None, None, 7]
+        # (W-1)-denominator formula kept verbatim from the reference
+        # (utils/camera.py:395-397) even though the library feeds +0.5
+        # pixel-center coords — the half-pixel lon bias exists there too,
+        # and project/unproject stay mutually consistent either way
         lon = (uv[..., 0] - (W - 1) / 2.0) / (W - 1) * hfov
         lat = (uv[..., 1] - (H - 1) / 2.0) / (H - 1) * vfov
         x = jnp.cos(lat) * jnp.sin(lon)
@@ -223,8 +241,10 @@ class Spherical(CameraBase):
         lat = jnp.arcsin(
             jnp.clip(xyz[..., 1] / jnp.maximum(_norm(xyz)[..., 0], 1e-5), -1.0, 1.0)
         )
-        u = lon / hfov[..., 0] * (W[..., 0] - 1) + (W[..., 0] - 1) / 2.0
-        v = lat / vfov[..., 0] * (H[..., 0] - 1) + (H[..., 0] - 1) / 2.0
+        # keep the (B, 1, 1) shape: indexing [..., 0] reduced it to (B, 1),
+        # which mis-broadcasts against (B, H, W) for any B > 1
+        u = lon / hfov * (W - 1) + (W - 1) / 2.0
+        v = lat / vfov * (H - 1) + (H - 1) / 2.0
         return jnp.stack([u, v], axis=-1)
 
     def reconstruct(self, depth):
@@ -263,7 +283,14 @@ def _newton_unproject(distort_fn, mx, my, params, iters: int):
         j12 = (fx_dy - fxv) / eps
         j22 = (fy_dy - fyv) / eps
         det = j11 * j22 - j12 * j21
-        det = jnp.where(jnp.abs(det) < 1e-12, jnp.sign(det) * 1e-12 + 1e-12, det)
+        # keep |det| >= 1e-12 while PRESERVING sign; the old
+        # sign(det)*1e-12 + 1e-12 form mapped tiny negative dets to exactly
+        # 0 and produced inf/NaN through the division below
+        det = jnp.where(
+            jnp.abs(det) < 1e-12,
+            jnp.where(det < 0, -1e-12, 1e-12),
+            det,
+        )
         dx = (rx * j22 - ry * j12) / det
         dy = (ry * j11 - rx * j21) / det
         return (x - dx, y - dy)
@@ -278,6 +305,9 @@ class OpenCV(CameraBase):
     (reference utils/camera.py:412-694; poly-division k4..k6 unsupported
     there too). Unprojection: 10 Newton iterations on the normalized plane.
     """
+
+    _FLIP_NEGATE_H = (11, 12, 13)  # p2, s1, s2
+    _FLIP_NEGATE_V = (10, 14, 15)  # p1, s3, s4
 
     iters: int = struct.field(pytree_node=False, default=10)
 
@@ -316,7 +346,11 @@ class OpenCV(CameraBase):
     def project(self, xyz):
         p = self.params[:, None, None, :]
         fx, fy, cx, cy = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
-        z = jnp.maximum(xyz[..., 2], 1e-3)
+        # sign-preserving guard (reference project: eps*sign(z), e.g.
+        # utils/camera.py:712-714) so rear-hemisphere points mirror like the
+        # reference instead of exploding through a positive clamp
+        z = xyz[..., 2]
+        z = jnp.where(jnp.abs(z) < 1e-3, jnp.where(z < 0, -1e-3, 1e-3), z)
         xd, yd = self._distort(xyz[..., 0] / z, xyz[..., 1] / z, p)
         return jnp.stack([fx * xd + cx, fy * yd + cy], axis=-1)
 
@@ -326,6 +360,9 @@ class Fisheye624(CameraBase):
     the angle-of-incidence theta; params (fx, fy, cx, cy, k1..k6, p1, p2,
     s1..s4) (reference utils/camera.py:697-974).
     """
+
+    _FLIP_NEGATE_H = (11, 12, 13)  # p2, s1, s2
+    _FLIP_NEGATE_V = (10, 14, 15)  # p1, s3, s4
 
     iters: int = struct.field(pytree_node=False, default=10)
 
@@ -365,7 +402,11 @@ class Fisheye624(CameraBase):
     def project(self, xyz):
         p = self.params[:, None, None, :]
         fx, fy, cx, cy = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
-        z = jnp.maximum(xyz[..., 2], 1e-3)
+        # sign-preserving guard (reference project: eps*sign(z), e.g.
+        # utils/camera.py:712-714) so rear-hemisphere points mirror like the
+        # reference instead of exploding through a positive clamp
+        z = xyz[..., 2]
+        z = jnp.where(jnp.abs(z) < 1e-3, jnp.where(z < 0, -1e-3, 1e-3), z)
         xd, yd = self._distort(xyz[..., 0] / z, xyz[..., 1] / z, p)
         return jnp.stack([fx * xd + cx, fy * yd + cy], axis=-1)
 
@@ -375,6 +416,9 @@ class MEI(CameraBase):
     params (fx, fy, cx, cy, k1, k2, p1, p2, xi)
     (reference utils/camera.py:977-1142). 20 Newton iterations.
     """
+
+    _FLIP_NEGATE_H = (7,)  # p2
+    _FLIP_NEGATE_V = (6,)  # p1
 
     iters: int = struct.field(pytree_node=False, default=20)
 

@@ -222,7 +222,12 @@ class Confidence:
         if self.rescale:
             med_gt = masked_median(gt, m, axis=-1)
             med_pred = masked_median(pred, m, axis=-1)
-            pred = pred * (med_gt / jnp.maximum(med_pred, 1e-6))[:, None]
+            ratio = med_gt / jnp.maximum(med_pred, 1e-6)
+            # an all-False mask row yields NaN medians (nanquantile of all
+            # NaN); fall back to no rescale for that sample instead of
+            # NaN-ing the whole batch loss
+            ratio = jnp.where(jnp.isfinite(ratio), ratio, 1.0)
+            pred = pred * ratio[:, None]
         err = jnp.abs(
             jnp.abs(FNS[self.input_fn](pred) - FNS[self.input_fn](gt)) - conf
         )
@@ -307,7 +312,9 @@ class SelfDistill:
 
         l1 = half_loss(x0w, x1)
         l2 = half_loss(x1, x0w)
-        return jnp.concatenate([l1, l2], axis=0)
+        # re-interleave so the (B,) vector stays aligned with the input
+        # batch order [s0c0, s0c1, s1c0, s1c1, ...] for per-sample weighting
+        return jnp.stack([l1, l2], axis=1).reshape(-1)
 
     @classmethod
     def build(cls, cfg):
@@ -473,7 +480,11 @@ class EdgeGuidedLocalSSI:
         flat = edges_lr.reshape(b, -1)
         k = min(self.num_patches, flat.shape[-1])
         _, idx = jax.lax.top_k(flat, k)
-        coords = jnp.stack([idx // gw, idx % gw], axis=-1) * 14  # (B, K, 2) y,x
+        # +7: patch centers at the CENTER of the selected 14x14 cell, not
+        # its top-left corner (extract_patches treats coords as window
+        # centers, ops/patches.py) — corner coords shifted every patch
+        # half a cell up-left from the edge that selected it
+        coords = jnp.stack([idx // gw, idx % gw], axis=-1) * 14 + 7  # (B, K, 2) y,x
 
         ksize = int(0.06 * min(h, w))
         ksize = ksize + (ksize % 2 == 0)
