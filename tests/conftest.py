@@ -25,3 +25,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_accumulated_state():
+    """Release compiled executables and live buffers between test modules.
+
+    A full-suite run accumulates every module's jitted programs in jax's
+    in-memory caches; clearing per module bounds native-heap growth (a
+    full `pytest tests/` run aborted inside XLA after ~70 tests without
+    this, while any subset passed)."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
