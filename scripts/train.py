@@ -10,7 +10,6 @@ Usage:
 
 import argparse
 import json
-import os
 import sys
 import time
 from pathlib import Path
@@ -85,6 +84,7 @@ def main():
         fsdp_param_sharding,
         tp_param_sharding,
         check_batch_divisibility,
+        use_sharding,
     )
     from unidepth_tpu.training.optim import build_optimizer
     from unidepth_tpu.training.step import make_train_step
@@ -98,11 +98,14 @@ def main():
     n_dev = len(jax.devices())
     print(f"devices: {n_dev}, mesh: {dict(mesh.shape)}")
 
-    if args.tp > 1:
-        # The Pallas flash kernel has no GSPMD partitioning rule, so under
-        # head-parallel tp the encoder must use XLA attention (which the
-        # partitioner shards along the head axis for free).
-        os.environ.setdefault("UNIDEPTH_ATTN_IMPL", "xla")
+    # Ambient mesh for the whole run: activation-sharding constraints at the
+    # encoder's reshape seams (no involuntary GSPMD rematerialization) and
+    # the shard_map'd flash kernel (--tp keeps the Pallas attention kernel;
+    # heads shard over the tp axis inside the kernel's shard_map).
+    import contextlib
+
+    _mesh_ctx = contextlib.ExitStack()
+    _mesh_ctx.enter_context(use_sharding(mesh))
 
     # Model family follows config model.name (reference train.py resolves the
     # class by string): V1 is a fixed-image-shape model, V2 shape-bucketed.
@@ -271,20 +274,29 @@ def main():
             ds = _val_datasets[name]
 
             def gen(ds=ds):
-                batch = []
-                for i in ShardedEvalSampler(
-                    len(ds), jax.process_count(), jax.process_index()
-                ):
-                    batch.append(ds[i])
-                    if len(batch) == local_bs:
-                        yield collate(batch)
-                        batch = []
-                if batch:
-                    # don't drop the remainder: a val shard smaller than
-                    # local_bs would otherwise yield NO batches (and under
-                    # multi-process, uneven shards would desync the metric
-                    # allgather batch counts)
-                    yield collate(batch)
+                # Every process must launch the SAME number of identically
+                # shaped val batches: the jitted forward over the globally
+                # sharded EMA params is one SPMD program, so ragged shards
+                # (they differ by up to 1 sample) or a ragged remainder
+                # batch would hang the collective launch. Pad each shard to
+                # the globally agreed count by repeating a sample; padded
+                # entries carry pad_mask=False and are dropped from metrics
+                # (MetricAccumulator NaN/nanmean path).
+                P, p = jax.process_count(), jax.process_index()
+                idxs = list(ShardedEvalSampler(len(ds), P, p))
+                n_valid = len(idxs)
+                max_shard = -(-len(ds) // P)
+                n_batches = -(-max_shard // local_bs)
+                idxs += [idxs[-1] if idxs else 0] * (
+                    n_batches * local_bs - n_valid
+                )
+                for b in range(n_batches):
+                    chunk = idxs[b * local_bs : (b + 1) * local_bs]
+                    batch = collate([ds[i] for i in chunk])
+                    batch["pad_mask"] = (
+                        np.arange(b * local_bs, (b + 1) * local_bs) < n_valid
+                    )
+                    yield batch
 
             out[name] = gen()
         return out

@@ -127,6 +127,10 @@ def test_opt_state_and_ema_shard_like_params():
 def test_check_batch_divisibility():
     assert check_batch_divisibility(8, 1, 8) == 8
     assert check_batch_divisibility(32, 2, 8) == 16
+    # multi-host at one image/chip: 2 hosts x 16 global devices, batch 16
+    # -> local 8. The constraint is GLOBAL batch % GLOBAL devices, so this
+    # is valid (the old local_bs % n_dev check wrongly rejected it).
+    assert check_batch_divisibility(16, 2, 16) == 8
     with pytest.raises(ValueError, match="not divisible by process_count"):
         check_batch_divisibility(9, 2, 4)
     with pytest.raises(ValueError, match="not divisible by the"):
@@ -135,8 +139,6 @@ def test_check_batch_divisibility():
     # must fail, not quietly run at n_dev images
     with pytest.raises(ValueError, match="not divisible by the"):
         check_batch_divisibility(4, 1, 8)
-    with pytest.raises(ValueError, match="not divisible by the"):
-        check_batch_divisibility(16, 2, 16)
 
 
 def test_initialize_distributed_gating(monkeypatch):

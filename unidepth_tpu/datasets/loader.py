@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import warnings
 from typing import Sequence
 
 import numpy as np
@@ -156,6 +157,25 @@ class Loader:
                 f"batch_size {batch_size} not divisible by num_copies {num_copies}"
             )
         self.num_copies = num_copies
+        if num_copies > 1:
+            # SelfDistill needs independently augmented copies of one base
+            # sample; a dataset exposing only __getitem__ would yield
+            # byte-identical copies and silently degenerate the invariance
+            # loss to ~0 — make that loud at construction time.
+            children = getattr(dataset, "datasets", [dataset])
+            bad = [
+                type(ds).__name__
+                for ds in children
+                if not hasattr(ds, "get_single_item")
+            ]
+            if bad:
+                warnings.warn(
+                    f"num_copies={num_copies} but dataset(s) {bad} expose only "
+                    "__getitem__ (no get_single_item): copies of a sample will "
+                    "be identical and the self-distillation loss degenerates "
+                    "to ~0",
+                    stacklevel=2,
+                )
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.seed = seed

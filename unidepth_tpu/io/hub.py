@@ -59,6 +59,12 @@ def load_checkpoint(name_or_path: str, version: int = 2):
         cfg_p = path / "config.json"
         if cfg_p.exists():
             config = json.loads(cfg_p.read_text())
+        if (path / "params").is_dir() and config is not None:
+            # native converted checkpoint (scripts/convert.py layout:
+            # config.json + orbax 'params' tree) — no torch needed
+            from unidepth_tpu.io.checkpoint import load_params
+
+            return config, load_params(path / "params")
         for cand in ("model.safetensors", "pytorch_model.bin", "model.bin"):
             if (path / cand).exists():
                 ckpt_file = path / cand

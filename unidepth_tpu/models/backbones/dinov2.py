@@ -92,12 +92,12 @@ class ViTBlock(nn.Module):
             and jax.default_backend() not in ("cpu",)
         )
         if use_flash:
-            from unidepth_tpu.ops.flash_attention import flash_attention
+            # mesh-aware: under tensor parallelism the kernel runs in a
+            # shard_map over (batch, heads) so --tp keeps the Pallas flash
+            # win instead of silently reverting to XLA attention
+            from unidepth_tpu.ops.flash_attention import sharded_flash_attention
 
-            d = c // h
-            attn = flash_attention(
-                q.reshape(b * h, n, d), k.reshape(b * h, n, d), v.reshape(b * h, n, d)
-            ).reshape(b, h, n, d)
+            attn = sharded_flash_attention(q, k, v)
         else:
             attn = sdpa(q, k, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, n, c)
@@ -179,8 +179,17 @@ class DinoViT(nn.Module):
         c = cfg.embed_dim
 
         # --- patch embed as space-to-depth + matmul ---------------------
+        # batch-sharded activation constraints at the reshape/transpose
+        # seams: without them GSPMD can fail the layout transition and fall
+        # back to "involuntary full rematerialization" (a full all-gather
+        # of the activation) — seen on the (B, gh*gw, p*p*3) reshape under
+        # a dp x fsdp x tp mesh. No-ops without an ambient mesh.
+        from unidepth_tpu.parallel.mesh import constrain
+
+        image = constrain(image, ("data", "fsdp"))
         patches = image.reshape(b, gh, p, gw, p, 3)
         patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * 3)
+        patches = constrain(patches, ("data", "fsdp"))
         kernel = self.param(
             "patch_kernel",
             nn.initializers.truncated_normal(0.02),
@@ -228,6 +237,7 @@ class DinoViT(nn.Module):
             x = jnp.concatenate([cls, reg, x], axis=1)
         else:
             x = jnp.concatenate([cls, x], axis=1)
+        x = constrain(x, ("data", "fsdp"))
 
         # --- block stack as scanned segments -----------------------------
         boundaries = [0, *cfg.output_idx]
@@ -272,6 +282,8 @@ class DinoViT(nn.Module):
                 dtype=self.dtype,
                 name=f"stage_{si}",
             )(x, rates)
+            # clean resharding seam at every scan-stage boundary
+            x = constrain(x, ("data", "fsdp"))
             if self.stacking == "max_cls":
                 seg_cls = ys[:, :, :1]  # (L, B, 1, C)
                 seg_patches = ys[:, :, 1 + reg :]

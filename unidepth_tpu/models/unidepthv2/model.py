@@ -289,47 +289,63 @@ class UniDepthV2:
 
             rays = out["rays"].reshape(-1, new_h, new_w, 3).astype(jnp.float32)
             points = rays * out["radius"]
-
-            def post(t):
-                t = resize(
-                    t,
-                    (padded_h, padded_w),
-                    mode=self.interpolation_mode,
-                    align_corners=False,
-                )
-                return t[:, pt : padded_h - pb, pl : padded_w - pr]
-
-            confidence = post(out["confidence"])
-            points_full = post(points)
-            rays_full = post(rays)
-            rays_full = rays_full / jnp.linalg.norm(
-                rays_full, axis=-1, keepdims=True
-            ).clip(1e-5)
-
-            K = out["intrinsics"]
-            scale_mat = jnp.asarray(
-                [[1.0 / factor, 1.0, 1.0 / factor], [1.0, 1.0 / factor, 1.0 / factor], [1.0, 1.0, 1.0]]
-            )
-            K = K * scale_mat  # fx, fy, cx, cy de-scaled
-            K = K.at[:, 0, 2].add(-pl).at[:, 1, 2].add(-pt)
-
-            res = {
-                "depth": points_full[..., 2:3],
-                "points": points_full,
-                "rays": rays_full,
-                "confidence": confidence,
-                "radius": jnp.linalg.norm(points_full, axis=-1, keepdims=True),
-                "intrinsics": K,
+            core = {
+                "points": points,
+                "rays": rays,
+                "confidence": out["confidence"],
+                "intrinsics": out["intrinsics"],
                 "depth_features": out["depth_features"],
             }
-            if outputs is not None:
-                # returning a subset lets XLA dead-code-eliminate unused
-                # heads — dropping 'confidence' removes its whole 518px
-                # conv chain (~10% of the serving program, docs/PERF.md)
-                res = {k: res[k] for k in outputs}
-            return res
+            return self._postprocess_serving(core, pads, padded, factor, outputs)
 
         return run
+
+    def _postprocess_serving(self, core, pads, padded, factor, outputs=None):
+        """Shared serving postprocess: resize network-resolution maps back
+        to the padded input grid, strip pads, renormalize rays, and de-scale
+        the intrinsics (reference unidepthv2.py:80-108 _postprocess +
+        _postprocess_intrinsics). Single code path for both compile
+        granularities — 'full' (_build_run) and 'core' (_infer_core_mode) —
+        so their serving numerics cannot fork."""
+        pl, pr, pt, pb = pads
+        padded_h, padded_w = padded
+
+        def post(t):
+            t = resize(
+                t,
+                (padded_h, padded_w),
+                mode=self.interpolation_mode,
+                align_corners=False,
+            )
+            return t[:, pt : padded_h - pb, pl : padded_w - pr]
+
+        points = post(core["points"])
+        rays = post(core["rays"])
+        rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True).clip(1e-5)
+        scale_mat = jnp.asarray(
+            [
+                [1.0 / factor, 1.0, 1.0 / factor],
+                [1.0, 1.0 / factor, 1.0 / factor],
+                [1.0, 1.0, 1.0],
+            ]
+        )
+        K = core["intrinsics"] * scale_mat  # fx, fy, cx, cy de-scaled
+        K = K.at[:, 0, 2].add(-pl).at[:, 1, 2].add(-pt)
+        res = {
+            "depth": points[..., 2:3],
+            "points": points,
+            "rays": rays,
+            "confidence": post(core["confidence"]),
+            "radius": jnp.linalg.norm(points, axis=-1, keepdims=True),
+            "intrinsics": K,
+            "depth_features": core["depth_features"],
+        }
+        if outputs is not None:
+            # returning a subset lets XLA dead-code-eliminate unused
+            # heads — dropping 'confidence' removes its whole 518px
+            # conv chain (~10% of the serving program, docs/PERF.md)
+            res = {k: res[k] for k in outputs}
+        return res
 
     # ------------------------------------------------------------------
     # 'core' compile granularity: the expensive encoder+decoder program is
@@ -396,36 +412,14 @@ class UniDepthV2:
 
         post_key = ("post", new_hw, padded, pads, factor)
         if post_key not in self._jit_cache:
-
-            def post_fn(out):
-                def post(t):
-                    t = resize(
-                        t, (padded_h, padded_w), mode=self.interpolation_mode,
-                        align_corners=False,
-                    )
-                    return t[:, pt : padded_h - pb, pl : padded_w - pr]
-
-                points = post(out["points"])
-                rays = post(out["rays"])
-                rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True).clip(1e-5)
-                K = out["intrinsics"]
-                scale_mat = jnp.asarray(
-                    [[1.0 / factor, 1.0, 1.0 / factor],
-                     [1.0, 1.0 / factor, 1.0 / factor],
-                     [1.0, 1.0, 1.0]]
+            self._jit_cache[post_key] = jax.jit(
+                functools.partial(
+                    self._postprocess_serving,
+                    pads=pads,
+                    padded=padded,
+                    factor=factor,
                 )
-                K = (K * scale_mat).at[:, 0, 2].add(-pl).at[:, 1, 2].add(-pt)
-                return {
-                    "depth": points[..., 2:3],
-                    "points": points,
-                    "rays": rays,
-                    "confidence": post(out["confidence"]),
-                    "radius": jnp.linalg.norm(points, axis=-1, keepdims=True),
-                    "intrinsics": K,
-                    "depth_features": out["depth_features"],
-                }
-
-            self._jit_cache[post_key] = jax.jit(post_fn)
+            )
         return self._jit_cache[post_key](out)
 
     # ------------------------------------------------------------------

@@ -67,9 +67,6 @@ def attention(
     )
     if not use_flash:
         return sdpa(q, k, v, bias=bias)
-    from unidepth_tpu.ops.flash_attention import flash_attention
+    from unidepth_tpu.ops.flash_attention import sharded_flash_attention
 
-    out = flash_attention(
-        q.reshape(b * h, nq, d), k.reshape(b * h, nk, d), v.reshape(b * h, nk, d)
-    )
-    return out.reshape(b, h, nq, d)
+    return sharded_flash_attention(q, k, v)

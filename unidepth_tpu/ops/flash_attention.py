@@ -18,10 +18,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention"]
+__all__ = ["flash_attention", "sharded_flash_attention"]
 
 _NEG_INF = -1e30
 
@@ -109,6 +110,9 @@ def _flash_fwd(q, k, v, *, blk_q: int, blk_k: int, scale: float):
     out = pl.pallas_call(
         functools.partial(_flash_kernel, blk_k=blk_k, n_real=nk, scale=scale),
         grid=grid,
+        # CPU (tests / virtual meshes): run the kernel in interpret mode so
+        # sharded-flash parity is testable without TPU hardware
+        interpret=jax.default_backend() == "cpu",
         in_specs=[
             pl.BlockSpec((1, blk_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad_k, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -148,6 +152,59 @@ def flash_attention(q, k, v, blk_q: int | None = None, blk_k: int | None = None,
         scale = q.shape[-1] ** -0.5
     blk_q, blk_k = _pick_blocks(k.shape[1], blk_q, blk_k)
     return _flash_fwd(q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale)
+
+
+def sharded_flash_attention(q, k, v, scale: float | None = None):
+    """Flash attention over ``(B, H, N, D)`` that survives tensor/data
+    parallelism: with an ambient mesh (parallel.mesh.use_sharding) the
+    kernel runs under ``shard_map`` — batch split over (data, fsdp), heads
+    over tp — so Megatron-sharded attention keeps the Pallas kernel instead
+    of falling back to XLA attention (heads are embarrassingly parallel:
+    softmax is over N, which stays local). Without a mesh, or when the
+    shapes don't divide the mesh axes, this is exactly ``flash_attention``
+    on the flattened (B*H, N, D) layout.
+
+    Covers the reference's memory-efficient attention under DDP
+    (metadinov2/attention.py:65-82 + DDP wrap, reference train.py:131).
+    """
+    from unidepth_tpu.parallel.mesh import ambient_mesh
+
+    b, h, n, d = q.shape
+
+    def _flat(q, k, v):
+        bb, hh = q.shape[0], q.shape[1]
+        out = flash_attention(
+            q.reshape(bb * hh, q.shape[2], d),
+            k.reshape(bb * hh, k.shape[2], d),
+            v.reshape(bb * hh, v.shape[2], d),
+            None,
+            None,
+            scale,
+        )
+        return out.reshape(bb, hh, q.shape[2], d)
+
+    mesh = ambient_mesh()
+    if mesh is None:
+        return _flat(q, k, v)
+    batch_axes = tuple(
+        a for a in ("data", "fsdp") if mesh.shape.get(a, 1) > 1
+    )
+    tp = mesh.shape.get("tp", 1)
+    b_div = int(np.prod([mesh.shape[a] for a in batch_axes])) if batch_axes else 1
+    if (not batch_axes and tp == 1) or b % b_div != 0 or h % tp != 0:
+        return _flat(q, k, v)
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(batch_axes if batch_axes else None, "tp" if tp > 1 else None)
+    fn = shard_map(
+        _flat,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_rep=False,
+    )
+    return fn(q, k, v)
 
 
 def _fwd(q, k, v, blk_q, blk_k, scale):

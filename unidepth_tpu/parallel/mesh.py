@@ -15,6 +15,9 @@ across slices.
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -27,28 +30,93 @@ __all__ = [
     "fsdp_param_sharding",
     "tp_param_sharding",
     "check_batch_divisibility",
+    "use_sharding",
+    "ambient_mesh",
+    "constrain",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Ambient mesh: model code (encoder/decoder/kernels) is mesh-agnostic, but
+# GSPMD needs sharding hints at activation-layout seams (reshape/transpose
+# chains it otherwise resolves with an involuntary full rematerialization —
+# an all-gather of encoder activations every scan stage on real hardware).
+# Drivers wrap tracing in ``use_sharding(mesh)``; ``constrain`` is a strict
+# no-op when no mesh is ambient, so single-chip serving is untouched.
+# ---------------------------------------------------------------------------
+_AMBIENT = threading.local()
+
+
+@contextlib.contextmanager
+def use_sharding(mesh: Mesh):
+    """Make ``mesh`` the ambient mesh for activation-sharding constraints
+    (and the shard_map'd flash kernel) while tracing under this context."""
+    prev = getattr(_AMBIENT, "mesh", None)
+    _AMBIENT.mesh = mesh
+    try:
+        yield mesh
+    finally:
+        _AMBIENT.mesh = prev
+
+
+def ambient_mesh() -> Mesh | None:
+    return getattr(_AMBIENT, "mesh", None)
+
+
+def constrain(x, *spec):
+    """``with_sharding_constraint(x, P(*spec))`` against the ambient mesh.
+
+    Axis names absent from the ambient mesh (or with size 1) are dropped
+    from the spec; with no ambient mesh the input is returned unchanged.
+    Spec entries may be a name, a tuple of names, or None."""
+    mesh = ambient_mesh()
+    if mesh is None:
+        return x
+
+    def keep(name):
+        return mesh.shape.get(name, 1) > 1
+
+    parts = []
+    for entry in spec:
+        if entry is None:
+            parts.append(None)
+        elif isinstance(entry, tuple):
+            names = tuple(n for n in entry if keep(n))
+            parts.append(names if names else None)
+        else:
+            parts.append(entry if keep(entry) else None)
+    if all(p is None for p in parts):
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*parts)))
 
 
 def check_batch_divisibility(batch_size: int, n_proc: int, n_dev: int) -> int:
     """Validate the global batch against the process/device topology and
     return the per-process batch. Fails fast at startup instead of deep
     inside XLA when the P(None, ("data", "fsdp")) batch sharding would not
-    divide evenly."""
+    divide evenly.
+
+    ``n_dev`` is the GLOBAL batch-shard device count (data*fsdp across all
+    hosts). The sharding constraint is global: ``batch_size % n_dev == 0``
+    — NOT ``local_bs % n_dev``, which would wrongly force the per-process
+    slice to cover every device (e.g. 2 hosts x 8 chips at one image/chip:
+    batch 16 -> local 8, and 8 % 16 != 0 would reject a valid config).
+    ``make_array_from_process_local_data`` only needs each process's slice
+    to cover its LOCAL shard devices, which ``batch_size % n_proc == 0``
+    plus the global divisibility guarantees for symmetric topologies."""
     if batch_size % n_proc != 0:
         raise ValueError(
             f"batch_size {batch_size} not divisible by process_count {n_proc}"
         )
-    local_bs = batch_size // n_proc
-    if local_bs % n_dev != 0:
+    if batch_size % n_dev != 0:
         # no silent rounding-up: inflating to the device count would run a
         # larger global batch than configured
         raise ValueError(
-            f"per-process batch {local_bs} not divisible by the {n_dev} "
-            f"batch-shard devices; pick batch_size so that "
-            f"batch_size/process_count is a multiple of the device count"
+            f"global batch {batch_size} not divisible by the {n_dev} "
+            f"batch-shard devices; pick a batch_size that is a multiple of "
+            f"both the device count and the process count"
         )
-    return local_bs
+    return batch_size // n_proc
 
 
 def initialize_distributed(**kwargs) -> None:

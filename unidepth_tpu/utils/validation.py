@@ -38,16 +38,27 @@ class MetricAccumulator:
         points_pred=None,
         thresholds=None,
         mask3d=None,
+        sample_mask=None,
     ):
+        """``sample_mask``: optional (B,) bool — False marks padding samples
+        (val shards padded to equal SPMD batch counts); their metrics are
+        recorded as NaN and dropped by the nanmean reduction."""
+
+        def _store(k, v):
+            v = np.asarray(v, np.float64)
+            if sample_mask is not None:
+                v = np.where(np.asarray(sample_mask, bool), v, np.nan)
+            self._values[k].append(v)
+
         metrics = eval_depth(depth_gt, depth_pred, mask, max_depth=self.max_depth)
         for k, v in metrics.items():
-            self._values[k].append(np.asarray(v))
+            _store(k, v)
         if points_gt is not None and points_pred is not None:
             m3 = eval_3d(
                 points_gt, points_pred, mask if mask3d is None else mask3d, thresholds
             )
             for k, v in m3.items():
-                self._values[k].append(np.asarray(v))
+                _store(k, v)
 
     def get_evaluation(self) -> dict[str, float]:
         out = {}
@@ -56,8 +67,17 @@ class MetricAccumulator:
             if jax.process_count() > 1:
                 from jax.experimental.multihost_utils import process_allgather
 
+                # shards are ragged by up to one sample per batch
+                # (DistributedSamplerNoDuplicate semantics) and allgather
+                # needs equal shapes: agree on the max length first, pad
+                # with NaN, and let nanmean drop the padding
+                n = int(np.max(process_allgather(np.asarray([local.size]))))
+                if local.size < n:
+                    local = np.concatenate(
+                        [local, np.full(n - local.size, np.nan, local.dtype)]
+                    )
                 local = np.concatenate(process_allgather(local))
-            out[k] = float(np.mean(local))
+            out[k] = float(np.nanmean(local)) if np.any(np.isfinite(local)) else float("nan")
         self._values.clear()
         return out
 
@@ -122,6 +142,7 @@ def validate(
                 jnp.asarray(batch["depth"]),
                 depth,
                 jnp.asarray(batch["depth_mask"]),
+                sample_mask=batch.get("pad_mask"),
                 **kwargs,
             )
         results[name] = acc.get_evaluation()
