@@ -11,9 +11,18 @@ Methodology: N forward passes are chained *inside one jitted fori_loop*
 elide or overlap them) and the single call is timed end-to-end. This is
 robust against async-dispatch timing artifacts on remote/tunneled devices.
 
-The reference publishes no images/sec numbers (BASELINE.md), so
-``vs_baseline`` reports the ratio against an analytic roofline target:
-model FLOPs / (v5e bf16 peak * 45% assumed MXU utilization).
+The reference publishes no images/sec numbers (BASELINE.md), so the
+headline ratio is reported against two targets:
+
+  * ``vs_baseline`` — analytic roofline: model FLOPs / (v5e bf16 datasheet
+    peak * 45% assumed MXU utilization). The 45% is an assumption; the
+    r2 lever study (docs/PERF.md) measured this chip's practical dense
+    ceiling well below it.
+  * ``vs_calibrated`` — the same model FLOPs against the dense-GEMM rate
+    MEASURED on this chip at startup (~1 s: chained large bf16 matmuls in
+    one jitted fori_loop). This is the honest speed-of-light for these
+    numerics on this part; >1.0 means the pipeline beats plain-GEMM
+    throughput (the flash kernel's fused softmax does exactly that).
 """
 
 import json
@@ -24,16 +33,51 @@ from pathlib import Path
 _ROOT = Path(__file__).resolve().parent
 
 
-def _roofline_target(tokens: int) -> float:
-    """Analytic images/sec for ViT-L/14 (+decoder ~35%) at assumed util."""
+def _model_flops(tokens: int) -> float:
+    """ViT-L/14 encoder FLOPs per image (+~35% decoder factor)."""
     d = 1024
     mlp_qkvo_flops = 24 * (12 * d * d) * 2 * tokens
     attn_flops = 24 * 2 * 2 * tokens * tokens * d
-    vit = mlp_qkvo_flops + attn_flops
-    total = vit * 1.35
+    return (mlp_qkvo_flops + attn_flops) * 1.35
+
+
+def _roofline_target(tokens: int) -> float:
+    """Analytic images/sec at 45% of the v5e bf16 datasheet peak."""
     peak = 197e12  # v5e bf16 peak FLOP/s
     util = 0.45
-    return peak * util / total
+    return peak * util / _model_flops(tokens)
+
+
+def _measure_dense_rate(jax, jnp) -> float:
+    """Measured bf16 dense-GEMM FLOP/s on this chip: K chained (n x n)
+    matmuls inside one jitted fori_loop (each iteration consumes the
+    previous output, so XLA cannot elide them), value-fetch barrier."""
+    import numpy as np
+
+    n, iters = 4096, 16
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((n, n)) / n**0.5, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((n, n)) / n**0.5, jnp.bfloat16)
+
+    @jax.jit
+    def chain(a, b):
+        def body(_, x):
+            return jnp.dot(b, x, preferred_element_type=jnp.bfloat16)
+
+        out = jax.lax.fori_loop(0, iters, body, a)
+        return jnp.float32(out[0, 0])
+
+    float(chain(a, b))  # compile + warmup
+    dt = min(
+        _timed(lambda: float(chain(a, b))) for _ in range(3)
+    )  # best-of-3: host jitter through the tunnel must not skew the ceiling
+    return iters * 2 * n**3 / dt
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def main():
@@ -89,6 +133,8 @@ def main():
     new_hw = key[4]  # network resolution selected by the bucket
     tokens = (new_hw[0] // 14) * (new_hw[1] // 14)
     target = _roofline_target(tokens)
+    dense_rate = _measure_dense_rate(jax, jnp)
+    calibrated_target = dense_rate / _model_flops(tokens)
     print(
         json.dumps(
             {
@@ -96,6 +142,8 @@ def main():
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / target, 4),
+                "vs_calibrated": round(ips / calibrated_target, 4),
+                "calibrated_dense_tflops": round(dense_rate / 1e12, 1),
             }
         )
     )

@@ -74,9 +74,9 @@ def main(argv=None):
                 in_path = in_path / cand
                 break
 
-    config, params = load_checkpoint(str(in_path), version=version)
-    if config_override is not None:
-        config = config_override
+    config, params = load_checkpoint(
+        str(in_path), version=version, config=config_override
+    )
 
     out = Path(args.output).absolute()
     out.mkdir(parents=True, exist_ok=True)

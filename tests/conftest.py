@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the slow tier is dominated by XLA compiles on
+# the single host core (the SPMD train-step programs take minutes each);
+# repeat runs of an unchanged program load from disk instead.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -24,7 +24,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from unidepth_tpu.ops.attention import sdpa
 from unidepth_tpu.ops.flash_attention import (
     flash_attention,
+    flash_attention_packed,
     sharded_flash_attention,
+    sharded_flash_attention_packed,
 )
 from unidepth_tpu.parallel.mesh import make_mesh, tp_param_sharding, use_sharding
 
@@ -96,6 +98,55 @@ def test_sharded_flash_grad_matches_sdpa_grad():
     g_sdpa = jax.jit(jax.grad(loss_sdpa, argnums=(0, 1, 2)))(q, k, v)
     for gf, gs in zip(g_flash, g_sdpa):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gs), rtol=1e-4, atol=1e-4)
+
+
+def _packed_from_heads(x):
+    """(B, H, N, D) -> head-packed (B, N, H*D)."""
+    b, h, n, d = x.shape
+    return np.asarray(x).transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+def test_packed_flash_matches_sdpa():
+    q, k, v = _qkv(b=2, h=4, n=80)
+    ref = sdpa(q, k, v)  # (B, H, N, D)
+    qp, kp, vp = (jnp.asarray(_packed_from_heads(t)) for t in (q, k, v))
+    out = flash_attention_packed(qp, kp, vp, 4)
+    np.testing.assert_allclose(
+        np.asarray(out), _packed_from_heads(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_packed_flash_grad_matches_sdpa_grad():
+    q, k, v = _qkv(b=2, h=2, n=48)
+    qp, kp, vp = (jnp.asarray(_packed_from_heads(t)) for t in (q, k, v))
+
+    def loss_packed(q, k, v):
+        return jnp.sum(jnp.square(flash_attention_packed(q, k, v, 2)))
+
+    def loss_sdpa(q, k, v):
+        b, n, c = q.shape
+        qh = q.reshape(b, n, 2, c // 2).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, n, 2, c // 2).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, n, 2, c // 2).transpose(0, 2, 1, 3)
+        return jnp.sum(jnp.square(sdpa(qh, kh, vh)))
+
+    gp = jax.jit(jax.grad(loss_packed, argnums=(0, 1, 2)))(qp, kp, vp)
+    gs = jax.jit(jax.grad(loss_sdpa, argnums=(0, 1, 2)))(qp, kp, vp)
+    for a, b2 in zip(gp, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_packed_flash_matches_replicated_tp2():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(data=2, fsdp=2, tp=2)
+    q, k, v = _qkv(b=4, h=4, n=64)
+    qp, kp, vp = (jnp.asarray(_packed_from_heads(t)) for t in (q, k, v))
+    ref = flash_attention_packed(qp, kp, vp, 4)
+    with use_sharding(mesh):
+        out = jax.jit(lambda a, b, c: sharded_flash_attention_packed(a, b, c, 4))(
+            qp, kp, vp
+        )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-6, atol=1e-6)
 
 
 @pytest.mark.slow

@@ -50,14 +50,16 @@ def _default_config(version: int, backbone: str) -> dict:
     raise FileNotFoundError(f"no config for version={version} backbone={backbone}")
 
 
-def load_checkpoint(name_or_path: str, version: int = 2):
-    """Resolve config + converted params for a checkpoint reference."""
+def load_checkpoint(name_or_path: str, version: int = 2, config: dict | None = None):
+    """Resolve config + converted params for a checkpoint reference.
+
+    ``config``: explicit config dict (e.g. scripts/convert.py --config);
+    overrides any config.json found next to the checkpoint."""
     path = Path(name_or_path)
-    config = None
     ckpt_file = None
     if path.is_dir():
         cfg_p = path / "config.json"
-        if cfg_p.exists():
+        if config is None and cfg_p.exists():
             config = json.loads(cfg_p.read_text())
         if (path / "params").is_dir() and config is not None:
             # native converted checkpoint (scripts/convert.py layout:
@@ -72,15 +74,16 @@ def load_checkpoint(name_or_path: str, version: int = 2):
     elif path.is_file():
         ckpt_file = path
         cfg_p = path.parent / "config.json"
-        if cfg_p.exists():
+        if config is None and cfg_p.exists():
             config = json.loads(cfg_p.read_text())
     else:
         # HF hub repo id
         try:
             from huggingface_hub import hf_hub_download
 
-            cfg_p = hf_hub_download(name_or_path, "config.json")
-            config = json.loads(Path(cfg_p).read_text())
+            if config is None:
+                cfg_p = hf_hub_download(name_or_path, "config.json")
+                config = json.loads(Path(cfg_p).read_text())
             try:
                 ckpt_file = Path(hf_hub_download(name_or_path, "model.safetensors"))
             except Exception:

@@ -81,26 +81,35 @@ class ViTBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         y = y.astype(self.dtype)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(y)
-        # torch layout: reshape(B,N,3,H,D) -> q,k,v
-        qkv = qkv.reshape(b, n, 3, h, c // h)
-        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
-        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
         use_flash = self.attn_impl == "flash" or (
             self.attn_impl == "auto"
             and n >= 1024
             and jax.default_backend() not in ("cpu",)
         )
         if use_flash:
-            # mesh-aware: under tensor parallelism the kernel runs in a
-            # shard_map over (batch, heads) so --tp keeps the Pallas flash
-            # win instead of silently reverting to XLA attention
-            from unidepth_tpu.ops.flash_attention import sharded_flash_attention
+            # Head-packed kernel: the torch qkv layout (B,N,3,H,D) means the
+            # first/middle/last C channels of the fused projection ARE q/k/v
+            # in head-major (H,D) order, so the Pallas kernel reads each
+            # head's slab straight from the projection output and writes the
+            # merged (B,N,C) layout the out-projection consumes — no head
+            # split/merge transposes on either side (~4 layout copies per
+            # block removed at 518px). Mesh-aware: under tensor parallelism
+            # it runs in a shard_map (batch over data*fsdp, channels/heads
+            # over tp) so --tp keeps the flash kernel.
+            from unidepth_tpu.ops.flash_attention import (
+                sharded_flash_attention_packed,
+            )
 
-            attn = sharded_flash_attention(q, k, v)
+            attn = sharded_flash_attention_packed(
+                qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :], h
+            )
         else:
-            attn = sdpa(q, k, v)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, n, c)
+            # torch layout: reshape(B,N,3,H,D) -> q,k,v
+            qkv = qkv.reshape(b, n, 3, h, c // h)
+            q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+            k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+            v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+            attn = sdpa(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, c)
         attn = nn.Dense(c, dtype=self.dtype, name="proj")(attn)
         if self.init_values:
             gamma1 = self.param(

@@ -22,16 +22,39 @@ from unidepth_tpu.ops.attention import sdpa
 
 
 def _iterative_pinv(mat: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
-    """Newton-Schulz pseudo-inverse of a softmax kernel (rows sum ~1)."""
-    abs_mat = jnp.abs(mat)
-    col = jnp.max(jnp.sum(abs_mat, axis=-2), axis=-1)
-    row = jnp.max(jnp.sum(abs_mat, axis=-1), axis=-1)
-    z = mat.swapaxes(-1, -2) / (col * row)[..., None, None]
+    """Newton-Schulz (Razavi) pseudo-inverse of a softmax kernel.
+
+    Matches the xformers ``iterative_pinv`` defaults (6 iterations,
+    ``pinverse_original_init=False``): init ``Z0 = K^T / max(colsum(K))``
+    — for a softmax kernel the row sums are exactly 1, so this coincides
+    with the paper's ``K^T / (max colsum * max rowsum)`` init."""
+    col = jnp.max(jnp.sum(mat, axis=-2), axis=-1)
+    z = mat.swapaxes(-1, -2) / col[..., None, None]
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
     for _ in range(iters):
         kz = mat @ z
         z = 0.25 * z @ (13.0 * eye - kz @ (15.0 * eye - kz @ (7.0 * eye - kz)))
     return z
+
+
+def _landmark_pool(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Segment-mean landmark pooling over the token axis of (B, H, N, D).
+
+    Non-divisible N follows the xformers AvgPool split (reference pin
+    xformers>=0.0.26, components/attention/nystrom.py): the first
+    ``m - N%m`` landmarks average ``N//m`` tokens each, the remaining
+    ``N%m`` average ``N//m + 1`` — every token contributes to exactly one
+    landmark (edge-padding would double-weight boundary tokens)."""
+    b, h, n, d = x.shape
+    seg = n // m
+    r = n % m
+    if r == 0:
+        return x.reshape(b, h, m, seg, d).mean(axis=3)
+    n_round = m - r
+    split = n_round * seg
+    head = x[:, :, :split].reshape(b, h, n_round, seg, d).mean(axis=3)
+    tail = x[:, :, split:].reshape(b, h, r, seg + 1, d).mean(axis=3)
+    return jnp.concatenate([head, tail], axis=2)
 
 
 def nystrom_attention(
@@ -43,13 +66,8 @@ def nystrom_attention(
     if n <= m:
         return sdpa(q, k, v)
     scale = d**-0.5
-    # segment-mean landmarks (pad N up to a multiple of m with edge values)
-    pad = (-n) % m
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)), mode="edge")
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)), mode="edge")
-    seg = qp.shape[2] // m
-    q_l = qp.reshape(b, h, m, seg, d).mean(axis=3)
-    k_l = kp.reshape(b, h, m, seg, d).mean(axis=3)
+    q_l = _landmark_pool(q, m)
+    k_l = _landmark_pool(k, m)
 
     def soft(a, bm):
         logits = jnp.einsum("bhnd,bhmd->bhnm", a, bm, preferred_element_type=jnp.float32) * scale

@@ -154,6 +154,183 @@ def flash_attention(q, k, v, blk_q: int | None = None, blk_k: int | None = None,
     return _flash_fwd(q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale)
 
 
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, blk_k: int, n_real: int, scale: float, d: int):
+    """Single-pass attention over a 128-lane block holding ``128 // d``
+    head slabs side by side (Mosaic requires lane-dim blocks of 128): each
+    head's (blk_q, d) slice is processed independently with static lane
+    slices — the contraction never crosses the head boundary."""
+    n_pad = k_ref.shape[1]
+    blk_c = q_ref.shape[2]
+    blk_q = q_ref.shape[1]
+    for off in range(0, blk_c, d):
+        q = q_ref[0, :, off : off + d]
+        s = (
+            jax.lax.dot_general(
+                q,
+                k_ref[0, :, off : off + d],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (blk_q, n_pad), 1)
+        s = jnp.where(col < n_real, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        # transposed PV (see _flash_kernel): fills the 128 output lanes
+        # with query positions instead of the d=64 head dim
+        acc_t = jax.lax.dot_general(
+            v_ref[0, :, off : off + d],
+            p.astype(v_ref.dtype),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, off : off + d] = (acc_t.T / jnp.maximum(l, 1e-30)).astype(
+            o_ref.dtype
+        )
+
+
+def _flash_fwd_packed(q, k, v, *, blk_q: int, scale: float, num_heads: int):
+    """Head-packed layout: q, k, v are (B, N, H*D) — the raw slices of a
+    fused QKV projection output. The grid walks 128-lane head groups and
+    the block specs read each group's (N, 128) slab straight out of the
+    packed array, so NO transpose/copy is needed on either side of the
+    kernel: the output lands back in (B, N, H*D), exactly what the
+    out-projection GEMM consumes. Removes ~4 large layout copies per ViT
+    block vs the flattened (B*H, N, D) path."""
+    b, nq, c = q.shape
+    d = c // num_heads
+    blk_c = 128 if d <= 128 else d
+    nk = k.shape[1]
+    n_pad_q = -(-nq // blk_q) * blk_q
+    # whole-K single pass (the UniDepth serving regime; _pick_blocks
+    # already selects whole-K for every shipped shape)
+    n_pad_k = -(-nk // 128) * 128
+    qp = jnp.pad(q, ((0, 0), (0, n_pad_q - nq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, n_pad_k - nk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, n_pad_k - nk), (0, 0)))
+
+    grid = (b, c // blk_c, n_pad_q // blk_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_kernel, blk_k=n_pad_k, n_real=nk, scale=scale, d=d
+        ),
+        grid=grid,
+        interpret=jax.default_backend() == "cpu",
+        in_specs=[
+            pl.BlockSpec((1, blk_q, blk_c), lambda b, g, i: (b, i, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad_k, blk_c), lambda b, g, i: (b, 0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad_k, blk_c), lambda b, g, i: (b, 0, g), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, blk_q, blk_c), lambda b, g, i: (b, i, g), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad_q, c), q.dtype),
+    )(qp, kp, vp)
+    return out[:, :nq]
+
+
+def _xla_attention_packed(q, k, v, scale, num_heads):
+    b, n, c = q.shape
+    d = c // num_heads
+    qh = q.reshape(b, n, num_heads, d)
+    kh = k.reshape(b, k.shape[1], num_heads, d)
+    vh = v.reshape(b, v.shape[1], num_heads, d)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", qh, kh, preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits * scale, axis=-1)
+    out = jnp.einsum(
+        "bhnm,bmhd->bnhd", w.astype(vh.dtype), vh, preferred_element_type=jnp.float32
+    )
+    return out.reshape(b, n, c).astype(v.dtype)
+
+
+def _packed_supported(nk: int, c: int, num_heads: int) -> bool:
+    """The packed kernel is whole-K single-pass with 128-lane head groups:
+    head dim must tile 128 lanes and the fp32 score block (blk_q x N) must
+    fit VMEM (same 4096-token bound as _pick_blocks' whole-K regime)."""
+    d = c // num_heads
+    if d > 128 or (d < 128 and (128 % d != 0 or c % 128 != 0)):
+        return False
+    return -(-nk // 128) * 128 <= 4096
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_packed(q, k, v, num_heads: int, scale: float | None = None):
+    """Flash attention on the head-packed (B, N, H*D) layout (see
+    ``_flash_fwd_packed``). The serving-critical forward runs as the Pallas
+    kernel; the backward recomputes with XLA ops (same policy as
+    ``flash_attention``). Shapes outside the packed kernel's regime route
+    through the generic (B*H, N, D) kernel (head split/merge transposes
+    reappear, correctness unchanged)."""
+    b, n, c = q.shape
+    d = c // num_heads
+    if scale is None:
+        scale = d**-0.5
+    if not _packed_supported(k.shape[1], c, num_heads):
+        def heads(x):
+            return x.reshape(b, x.shape[1], num_heads, d).transpose(0, 2, 1, 3).reshape(
+                b * num_heads, x.shape[1], d
+            )
+
+        out = flash_attention(heads(q), heads(k), heads(v), None, None, scale)
+        return out.reshape(b, num_heads, n, d).transpose(0, 2, 1, 3).reshape(b, n, c)
+    blk_q, _ = _pick_blocks(k.shape[1], None, None)
+    return _flash_fwd_packed(q, k, v, blk_q=blk_q, scale=scale, num_heads=num_heads)
+
+
+def _fwd_packed(q, k, v, num_heads, scale):
+    return flash_attention_packed(q, k, v, num_heads, scale), (q, k, v)
+
+
+def _bwd_packed(num_heads, scale, res, g):
+    q, k, v = res
+    d = q.shape[-1] // num_heads
+    if scale is None:
+        scale = d**-0.5
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_attention_packed(q, k, v, scale, num_heads), q, k, v
+    )
+    return vjp(g)
+
+
+flash_attention_packed.defvjp(_fwd_packed, _bwd_packed)
+
+
+def sharded_flash_attention_packed(q, k, v, num_heads: int):
+    """Mesh-aware ``flash_attention_packed``: under an ambient mesh the
+    kernel runs in a shard_map — batch over (data, fsdp), the packed
+    channel dim over tp. Heads are channel-major in the packed layout, so
+    a tp-contiguous channel chunk is exactly a head subset and each shard
+    runs the kernel on its local heads."""
+    from unidepth_tpu.parallel.mesh import ambient_mesh
+
+    b, n, c = q.shape
+
+    mesh = ambient_mesh()
+    if mesh is None:
+        return flash_attention_packed(q, k, v, num_heads)
+    batch_axes = tuple(a for a in ("data", "fsdp") if mesh.shape.get(a, 1) > 1)
+    tp = mesh.shape.get("tp", 1)
+    b_div = int(np.prod([mesh.shape[a] for a in batch_axes])) if batch_axes else 1
+    if (not batch_axes and tp == 1) or b % b_div != 0 or num_heads % tp != 0:
+        return flash_attention_packed(q, k, v, num_heads)
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(batch_axes if batch_axes else None, None, "tp" if tp > 1 else None)
+    local_heads = num_heads // tp
+
+    fn = shard_map(
+        lambda q, k, v: flash_attention_packed(q, k, v, local_heads),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_rep=False,
+    )
+    return fn(q, k, v)
+
+
 def sharded_flash_attention(q, k, v, scale: float | None = None):
     """Flash attention over ``(B, H, N, D)`` that survives tensor/data
     parallelism: with an ambient mesh (parallel.mesh.use_sharding) the
