@@ -312,7 +312,12 @@ def main():
     t0 = time.time()
     batches = device_prefetch(loader, bshard, size=2)
     for step, batch in zip(range(start_step, n_iters), batches):
+        if step == start_step:
+            print(f"first batch ready at +{time.time() - t0:.0f}s; compiling train step...", flush=True)
         state, metrics = step_fn(state, batch, jax.random.fold_in(key, step))
+        if step == start_step:
+            jax.block_until_ready(metrics["total"])
+            print(f"train step compiled+run at +{time.time() - t0:.0f}s", flush=True)
         if (step + 1) % 50 == 0 or step == start_step:
             m = {k: float(v) for k, v in metrics.items()}
             ema_losses = logger.log(m, step + 1)

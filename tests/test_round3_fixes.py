@@ -62,6 +62,31 @@ def test_loader_warns_on_num_copies_without_get_single_item():
         )
 
 
+def test_constrain_skips_indivisible_dims():
+    """with_sharding_constraint under the ambient mesh must not reject the
+    batch-1 traces that legitimately run inside a training process (param
+    init at (1,H,W,3), small artifact batches): entries whose dim doesn't
+    divide the mapped mesh axes are dropped, divisible ones still apply."""
+    import jax
+    import jax.numpy as jnp
+
+    from unidepth_tpu.parallel.mesh import constrain, make_mesh, use_sharding
+
+    mesh = make_mesh(data=4, fsdp=2, tp=1)
+    with use_sharding(mesh):
+        x1 = jnp.zeros((1, 7, 3))
+        out1 = jax.jit(lambda x: constrain(x, ("data", "fsdp"), None, None))(x1)
+        assert out1.shape == x1.shape  # no divisibility error
+
+        x8 = jnp.zeros((8, 7, 3))
+        out8 = jax.jit(lambda x: constrain(x, ("data", "fsdp"), None, None))(x8)
+        assert "data" in str(out8.sharding.spec)
+
+    # no ambient mesh: strict no-op
+    y = jnp.zeros((5, 5))
+    assert constrain(y, "data", None) is y
+
+
 def test_loader_no_warning_with_get_single_item(recwarn):
     from unidepth_tpu.datasets.dummy import Dummy
     from unidepth_tpu.datasets.loader import Loader, WeightedConcat

@@ -25,7 +25,16 @@ import numpy as np
 
 def export_forward(model, params, shape: tuple[int, int], with_camera: bool = False, batch: int = 1):
     """Returns a serialized StableHLO bytes blob of the stripped forward:
-    (image [, rays]) -> (points, confidence, intrinsics)."""
+    (image [, rays]) -> (points, confidence, intrinsics).
+
+    The export traces with the pure-XLA attention formulation (no Pallas
+    custom calls), so the artifact contains only standard StableHLO ops
+    and loads in any XLA/PJRT runtime — the portability analogue of the
+    reference selecting plain Attention over MemEffAttention when
+    export=True (reference backbones/dinov2.py:396). Numerics match the
+    kernel path to float tolerance (tests/test_flash_attention.py)."""
+    import os
+
     from jax import export as jax_export
 
     h, w = shape
@@ -35,11 +44,22 @@ def export_forward(model, params, shape: tuple[int, int], with_camera: bool = Fa
         return out["points"], out["confidence"], out["intrinsics"]
 
     img_spec = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
-    if with_camera:
-        rays_spec = jax.ShapeDtypeStruct((batch, h * w, 3), jnp.float32)
-        exported = jax_export.export(jax.jit(fwd))(params, img_spec, rays_spec)
-    else:
-        exported = jax_export.export(jax.jit(lambda p, x: fwd(p, x)))(params, img_spec)
+    prev_encoder = model.encoder
+    prev_env = os.environ.get("UNIDEPTH_ATTN_IMPL")
+    model.encoder = prev_encoder.clone(attn_impl="xla")
+    os.environ["UNIDEPTH_ATTN_IMPL"] = "xla"  # decoder attention dispatcher
+    try:
+        if with_camera:
+            rays_spec = jax.ShapeDtypeStruct((batch, h * w, 3), jnp.float32)
+            exported = jax_export.export(jax.jit(fwd))(params, img_spec, rays_spec)
+        else:
+            exported = jax_export.export(jax.jit(lambda p, x: fwd(p, x)))(params, img_spec)
+    finally:
+        model.encoder = prev_encoder
+        if prev_env is None:
+            os.environ.pop("UNIDEPTH_ATTN_IMPL", None)
+        else:
+            os.environ["UNIDEPTH_ATTN_IMPL"] = prev_env
     return exported.serialize()
 
 

@@ -55,7 +55,13 @@ def attention(
     impl: str = "auto",
 ) -> jnp.ndarray:
     """Dispatching attention over (B, H, N, D): flash kernel for long
-    unbiased sequences on TPU, XLA SDPA otherwise."""
+    unbiased sequences on TPU, XLA SDPA otherwise. ``UNIDEPTH_ATTN_IMPL``
+    overrides 'auto' (the export path sets it to 'xla' so serialized
+    programs carry no Pallas custom calls)."""
+    if impl == "auto":
+        import os
+
+        impl = os.environ.get("UNIDEPTH_ATTN_IMPL", "auto")
     b, h, nq, d = q.shape
     nk = k.shape[2]
     use_flash = impl == "flash" or (

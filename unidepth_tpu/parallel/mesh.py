@@ -67,8 +67,12 @@ def constrain(x, *spec):
     """``with_sharding_constraint(x, P(*spec))`` against the ambient mesh.
 
     Axis names absent from the ambient mesh (or with size 1) are dropped
-    from the spec; with no ambient mesh the input is returned unchanged.
-    Spec entries may be a name, a tuple of names, or None."""
+    from the spec, as is any entry whose tensor dimension does not divide
+    by the mapped mesh axes (e.g. the batch-1 trace of ``init_params`` or
+    a small artifact batch running under the training mesh — GSPMD
+    requires exact divisibility). With no ambient mesh the input is
+    returned unchanged. Spec entries may be a name, a tuple of names, or
+    None."""
     mesh = ambient_mesh()
     if mesh is None:
         return x
@@ -77,14 +81,18 @@ def constrain(x, *spec):
         return mesh.shape.get(name, 1) > 1
 
     parts = []
-    for entry in spec:
+    for dim, entry in enumerate(spec):
         if entry is None:
             parts.append(None)
+            continue
+        names = tuple(n for n in (entry if isinstance(entry, tuple) else (entry,)) if keep(n))
+        total = int(np.prod([mesh.shape[n] for n in names])) if names else 1
+        if not names or dim >= x.ndim or x.shape[dim] % total != 0:
+            parts.append(None)
         elif isinstance(entry, tuple):
-            names = tuple(n for n in entry if keep(n))
-            parts.append(names if names else None)
+            parts.append(names)
         else:
-            parts.append(entry if keep(entry) else None)
+            parts.append(names[0])
     if all(p is None for p in parts):
         return x
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*parts)))
