@@ -93,8 +93,9 @@ def _timed(fn) -> float:
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from unidepth_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache(jax)
     import jax.numpy as jnp
     import numpy as np
 

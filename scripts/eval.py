@@ -40,7 +40,9 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    from unidepth_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache(jax)
 
     import jax.numpy as jnp
 

@@ -66,8 +66,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from unidepth_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache(jax)
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)

@@ -17,11 +17,23 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# XLA:CPU's async thunk executor sizes its pool by host core count; on a
+# 1-core host all 8 virtual devices share ONE executor thread, so the
+# first device to block in a collective rendezvous starves the other
+# seven -> 20 s "stuck" warnings -> SIGABRT mid-suite. Synchronous
+# dispatch executes each device program on its own caller thread, which
+# cannot starve (observed: test_tp_flash train step aborted async,
+# passes sync; throughput on multi-core hosts is unaffected for tests).
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 # Persistent compile cache: the slow tier is dominated by XLA compiles on
 # the single host core (the SPMD train-step programs take minutes each);
 # repeat runs of an unchanged program load from disk instead.
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+#
+# Host-fingerprinted cache dir: stale cross-host XLA:CPU AOT entries
+# execute wrong-machine code and abort (see unidepth_tpu/utils/cache.py).
+from unidepth_tpu.utils.cache import setup_compile_cache  # noqa: E402
+
+setup_compile_cache(jax, min_compile_secs=10.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -27,7 +27,11 @@ __all__ = ["flash_attention", "sharded_flash_attention"]
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, blk_k: int, n_real: int, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, blk_k: int, n_real: int):
+    """q arrives PRE-SCALED (q * softmax_scale is folded into the epilogue
+    of the producing GEMM outside the kernel) — the in-kernel fp32
+    score-matrix multiply it replaces cost ~14% of kernel wall time
+    (docs/PERF.md r3 kernel work)."""
     q = q_ref[0]  # (blk_q, d)
     n_pad = k_ref.shape[1]
     blk_q, d = q.shape
@@ -35,44 +39,38 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, blk_k: int, n_real: int, scale:
 
     if num_kb == 1:
         # whole-K single pass: plain softmax, no running-stat corrections
-        s = (
-            jax.lax.dot_general(
-                q,
-                k_ref[0],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * scale
+        s = jax.lax.dot_general(
+            q,
+            k_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         col = jax.lax.broadcasted_iota(jnp.int32, (blk_q, n_pad), 1)
         s = jnp.where(col < n_real, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        # transposed PV: (d, n_pad) @ (n_pad, blk_q) fills all 128 output
-        # lanes with query positions instead of the d=64 head dim
-        # (measured +3% at N=1370 on v5e, docs/PERF.md lever table)
-        acc_t = jax.lax.dot_general(
-            v_ref[0],
+        # plain PV: (blk_q, n_pad) @ (n_pad, d). Measured on v5e at the
+        # serving shape this ties the r2 transposed-PV trick while
+        # skipping both transposes (docs/PERF.md r3 kernel work).
+        acc = jax.lax.dot_general(
             p.astype(v_ref.dtype),
-            dimension_numbers=(((0,), (1,)), ((), ())),
+            v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o_ref[0] = (acc_t.T / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
         return
 
     def body(i, carry):
         acc, m_i, l_i = carry
         k_blk = k_ref[0, pl.ds(i * blk_k, blk_k), :]
         v_blk = v_ref[0, pl.ds(i * blk_k, blk_k), :]
-        s = (
-            jax.lax.dot_general(
-                q,
-                k_blk,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * scale
+        s = jax.lax.dot_general(
+            q,
+            k_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         # mask padded keys
         col = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1) + i * blk_k
@@ -100,6 +98,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, blk_k: int, n_real: int, scale:
 def _flash_fwd(q, k, v, *, blk_q: int, blk_k: int, scale: float):
     bh, nq, d = q.shape
     nk = k.shape[1]
+    # fold the softmax scale into q before the kernel: XLA fuses the scalar
+    # multiply into the producing GEMM's epilogue (free), and for the ViT
+    # head dims (d = power of 4 -> scale a power of 2) the bf16 product is
+    # exact, so kernel numerics are unchanged
+    q = (q * jnp.asarray(scale, jnp.float32)).astype(q.dtype)
     n_pad_q = -(-nq // blk_q) * blk_q
     n_pad_k = -(-nk // blk_k) * blk_k
     qp = jnp.pad(q, ((0, 0), (0, n_pad_q - nq), (0, 0)))
@@ -108,7 +111,7 @@ def _flash_fwd(q, k, v, *, blk_q: int, blk_k: int, scale: float):
 
     grid = (bh, n_pad_q // blk_q)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, blk_k=blk_k, n_real=nk, scale=scale),
+        functools.partial(_flash_kernel, blk_k=blk_k, n_real=nk),
         grid=grid,
         # CPU (tests / virtual meshes): run the kernel in interpret mode so
         # sharded-flash parity is testable without TPU hardware
@@ -154,39 +157,36 @@ def flash_attention(q, k, v, blk_q: int | None = None, blk_k: int | None = None,
     return _flash_fwd(q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale)
 
 
-def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, blk_k: int, n_real: int, scale: float, d: int):
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, blk_k: int, n_real: int, d: int):
     """Single-pass attention over a 128-lane block holding ``128 // d``
     head slabs side by side (Mosaic requires lane-dim blocks of 128): each
     head's (blk_q, d) slice is processed independently with static lane
-    slices — the contraction never crosses the head boundary."""
+    slices — the contraction never crosses the head boundary. q arrives
+    PRE-SCALED (see _flash_kernel)."""
     n_pad = k_ref.shape[1]
     blk_c = q_ref.shape[2]
     blk_q = q_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (blk_q, n_pad), 1)
     for off in range(0, blk_c, d):
         q = q_ref[0, :, off : off + d]
-        s = (
-            jax.lax.dot_general(
-                q,
-                k_ref[0, :, off : off + d],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * scale
+        s = jax.lax.dot_general(
+            q,
+            k_ref[0, :, off : off + d],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        col = jax.lax.broadcasted_iota(jnp.int32, (blk_q, n_pad), 1)
         s = jnp.where(col < n_real, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        # transposed PV (see _flash_kernel): fills the 128 output lanes
-        # with query positions instead of the d=64 head dim
-        acc_t = jax.lax.dot_general(
-            v_ref[0, :, off : off + d],
+        # plain PV, no transposes (see _flash_kernel)
+        acc = jax.lax.dot_general(
             p.astype(v_ref.dtype),
-            dimension_numbers=(((0,), (1,)), ((), ())),
+            v_ref[0, :, off : off + d],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o_ref[0, :, off : off + d] = (acc_t.T / jnp.maximum(l, 1e-30)).astype(
+        o_ref[0, :, off : off + d] = (acc / jnp.maximum(l, 1e-30)).astype(
             o_ref.dtype
         )
 
@@ -203,6 +203,9 @@ def _flash_fwd_packed(q, k, v, *, blk_q: int, scale: float, num_heads: int):
     d = c // num_heads
     blk_c = 128 if d <= 128 else d
     nk = k.shape[1]
+    # prescale q (see _flash_fwd: fused into the producing GEMM by XLA,
+    # exact in bf16 for power-of-two scales)
+    q = (q * jnp.asarray(scale, jnp.float32)).astype(q.dtype)
     n_pad_q = -(-nq // blk_q) * blk_q
     # whole-K single pass (the UniDepth serving regime; _pick_blocks
     # already selects whole-K for every shipped shape)
@@ -213,9 +216,7 @@ def _flash_fwd_packed(q, k, v, *, blk_q: int, scale: float, num_heads: int):
 
     grid = (b, c // blk_c, n_pad_q // blk_q)
     out = pl.pallas_call(
-        functools.partial(
-            _packed_kernel, blk_k=n_pad_k, n_real=nk, scale=scale, d=d
-        ),
+        functools.partial(_packed_kernel, blk_k=n_pad_k, n_real=nk, d=d),
         grid=grid,
         interpret=jax.default_backend() == "cpu",
         in_specs=[
@@ -243,6 +244,20 @@ def _xla_attention_packed(q, k, v, scale, num_heads):
         "bhnm,bmhd->bnhd", w.astype(vh.dtype), vh, preferred_element_type=jnp.float32
     )
     return out.reshape(b, n, c).astype(v.dtype)
+
+
+def _pick_blk_q_packed(nq: int, n_pad_k: int) -> int:
+    """Balanced q blocks for the packed kernel: split nq into the fewest
+    blocks whose fp32 score slab (+ bf16 p copy, ~6 B/elem) stays inside a
+    ~10 MB VMEM working budget, then size the block to ceil(nq/blocks)
+    rounded up to the 8-sublane granule. At the ViT-L serving shape
+    (N=1370) this yields two blocks of 688 instead of three of 512 —
+    measured 4% faster (12% less padded work, fewer grid steps)."""
+    budget_rows = max(128, (10_000_000 // (6 * n_pad_k)) // 8 * 8)
+    max_blk = min(704, budget_rows)
+    nb = -(-nq // max_blk)
+    per = -(-nq // nb)
+    return -(-per // 8) * 8
 
 
 def _packed_supported(nk: int, c: int, num_heads: int) -> bool:
@@ -275,7 +290,7 @@ def flash_attention_packed(q, k, v, num_heads: int, scale: float | None = None):
 
         out = flash_attention(heads(q), heads(k), heads(v), None, None, scale)
         return out.reshape(b, num_heads, n, d).transpose(0, 2, 1, 3).reshape(b, n, c)
-    blk_q, _ = _pick_blocks(k.shape[1], None, None)
+    blk_q = _pick_blk_q_packed(n, -(-k.shape[1] // 128) * 128)
     return _flash_fwd_packed(q, k, v, blk_q=blk_q, scale=scale, num_heads=num_heads)
 
 
