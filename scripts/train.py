@@ -167,7 +167,13 @@ def main():
         ),
         ema=jax.device_put(state.ema, param_sharding(mesh, state.ema)),
     )
-    step_fn = jax.jit(train_step, donate_argnums=(0,))
+    # Pin the output state to the input layout: GSPMD otherwise picks
+    # output shardings by propagation, which can drift from the spec on
+    # individual leaves (breaking the opt-like-params invariant) and turns
+    # the next call into a fresh jit signature — a recompile every step.
+    from unidepth_tpu.parallel.mesh import pin_state_sharding
+
+    step_fn = jax.jit(pin_state_sharding(train_step, state), donate_argnums=(0,))
 
     # data — fail fast on indivisible batch configs instead of deep inside
     # XLA: the P(None, ("data","fsdp")) batch sharding needs local_bs to

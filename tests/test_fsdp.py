@@ -19,6 +19,7 @@ from unidepth_tpu.parallel.mesh import (
     check_batch_divisibility,
     fsdp_param_sharding,
     make_mesh,
+    pin_state_sharding,
 )
 from unidepth_tpu.training.optim import build_optimizer
 from unidepth_tpu.training.step import make_train_step
@@ -118,7 +119,12 @@ def test_opt_state_and_ema_shard_like_params():
     }
     bshard = NamedSharding(mesh, P(None, ("data", "fsdp")))
     batch = {k: jax.device_put(jnp.asarray(v), bshard) for k, v in batch.items()}
-    new_state, metrics = jax.jit(train_step)(state, batch, jax.random.key(0))
+    # pin_state_sharding: without it GSPMD propagates gradient shardings
+    # into small replicated opt leaves and the output layout drifts from
+    # the input spec (recompile flap + broken ZeRO-3 invariant)
+    new_state, metrics = jax.jit(pin_state_sharding(train_step, state))(
+        state, batch, jax.random.key(0)
+    )
     assert np.isfinite(float(metrics["total"]))
     # layout is preserved through the step (no silent gather to replicated)
     assert check_tree(new_state.opt_state, "opt-after") > 20

@@ -22,8 +22,10 @@ from unidepth_tpu.geometry.cameras import Pinhole
 from unidepth_tpu.parallel.mesh import (
     fsdp_param_sharding,
     make_mesh,
+    pin_state_sharding,
     tp_param_sharding,
     use_sharding,
+    virtual_mesh_exec_ok,
 )
 
 ROOT = Path(__file__).resolve().parents[1]
@@ -47,10 +49,12 @@ def _v1_batch(b, h, w, accum=1):
     }
 
 
-def test_v1_convnext_train_step_on_mesh():
+def test_v1_convnext_train_step_on_mesh(capfd):
     """One V1-ConvNeXt-L train step over dp x fsdp x tp = 2x2x2: ConvNeXt
     stages, the Nystrom/SH V1 decoder, and the V1 loss recipe all under
-    GSPMD with sharded params/opt-state/EMA."""
+    GSPMD with sharded params/opt-state/EMA — and GSPMD must partition it
+    cleanly (the V1 decoder's grouped dwconvs used to trip involuntary
+    full rematerialization until CvnxtBlock gained its seam constraint)."""
     assert len(jax.devices()) == 8
     from unidepth_tpu.models.unidepthv1.model import UniDepthV1
     from unidepth_tpu.training.optim import build_optimizer
@@ -74,18 +78,29 @@ def test_v1_convnext_train_step_on_mesh():
     batch = _v1_batch(8, h, w)
     bshard = NamedSharding(mesh, P(None, ("data", "fsdp")))
     batch = {k: jax.device_put(jnp.asarray(v), bshard) for k, v in batch.items()}
+    capfd.readouterr()  # drain
+    step = pin_state_sharding(train_step, state)  # production layout parity
     with use_sharding(mesh):
-        new_state, metrics = jax.jit(train_step)(state, batch, jax.random.key(0))
-    for k in ("depth", "camera", "total"):
-        assert np.isfinite(float(metrics[k])), (k, metrics)
-    # fsdp layout survives the step on a representative conv kernel
-    leaves = jax.tree_util.tree_leaves_with_path(new_state.params)
+        compiled = jax.jit(step).lower(state, batch, jax.random.key(0)).compile()
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err[-2000:]
+    # layout survives the step — asserted on the compiled output shardings
+    # (holds whether or not the step executes below)
+    out_shardings, _ = compiled.output_shardings
     sharded = sum(
         1
-        for _, x in leaves
-        if any(s is not None for s in getattr(x.sharding, "spec", ()) or ())
+        for x in jax.tree_util.tree_leaves(
+            jax.tree.map(lambda s: tuple(s.spec), out_shardings.params)
+        )
+        if x is not None
     )
-    assert sharded > 50, f"only {sharded} leaves sharded after the step"
+    assert sharded > 50, f"only {sharded} sharded axes in the output layout"
+    # execution gated: XLA:CPU in-process collectives can cyclically
+    # deadlock on thread-starved hosts (mesh.py:virtual_mesh_exec_ok)
+    if virtual_mesh_exec_ok():
+        new_state, metrics = compiled(state, batch, jax.random.key(0))
+        for k in ("depth", "camera", "total"):
+            assert np.isfinite(float(metrics[k])), (k, metrics)
 
 
 def test_v2old_forward_on_mesh():

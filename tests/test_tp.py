@@ -20,7 +20,12 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from unidepth_tpu.models.unidepthv2.model import UniDepthV2
-from unidepth_tpu.parallel.mesh import make_mesh, tp_param_sharding
+from unidepth_tpu.parallel.mesh import (
+    make_mesh,
+    pin_state_sharding,
+    tp_param_sharding,
+    virtual_mesh_exec_ok,
+)
 from unidepth_tpu.training.optim import build_optimizer
 from unidepth_tpu.training.step import make_train_step
 
@@ -142,10 +147,21 @@ def test_tp_train_step_runs():
     }
     bshard = NamedSharding(mesh, P(None, ("data", "fsdp")))
     batch = {k: jax.device_put(jnp.asarray(v), bshard) for k, v in batch.items()}
-    new_state, metrics = jax.jit(train_step)(state, batch, jax.random.key(0))
-    assert np.isfinite(float(metrics["total"]))
-    # tp layout survives the step on a representative kernel
-    qkv = _leaves_by_path(new_state.params)["encoder/stage_0/qkv/kernel"]
-    assert "tp" in jax.tree_util.tree_leaves(qkv.sharding.spec) or qkv.sharding.spec[
-        -1
-    ] == "tp"
+    # pinned like scripts/train.py: output state keeps the input layout
+    step = pin_state_sharding(train_step, state)
+    compiled = jax.jit(step).lower(state, batch, jax.random.key(0)).compile()
+    # tp layout survives the step on a representative kernel — checked on
+    # the compiled output shardings, so it holds even when execution is
+    # skipped below
+    out_shardings, _ = compiled.output_shardings
+    qkv_sharding = out_shardings.params["encoder"]["stage_0"]["qkv"]["kernel"]
+    flat = [
+        n
+        for e in qkv_sharding.spec
+        if e is not None
+        for n in (e if isinstance(e, tuple) else (e,))
+    ]
+    assert "tp" in flat, qkv_sharding.spec
+    if virtual_mesh_exec_ok():
+        new_state, metrics = compiled(state, batch, jax.random.key(0))
+        assert np.isfinite(float(metrics["total"]))

@@ -28,7 +28,13 @@ from unidepth_tpu.ops.flash_attention import (
     sharded_flash_attention,
     sharded_flash_attention_packed,
 )
-from unidepth_tpu.parallel.mesh import make_mesh, tp_param_sharding, use_sharding
+from unidepth_tpu.parallel.mesh import (
+    make_mesh,
+    pin_state_sharding,
+    tp_param_sharding,
+    use_sharding,
+    virtual_mesh_exec_ok,
+)
 
 
 def _qkv(b=4, h=4, n=96, d=64, seed=0):
@@ -199,9 +205,16 @@ def test_tp_train_step_with_flash_and_clean_partitioning(monkeypatch, capfd):
     batch = {k2: jax.device_put(jnp.asarray(v2), bshard) for k2, v2 in batch.items()}
 
     capfd.readouterr()  # drain
+    # pin_state_sharding mirrors scripts/train.py: output state keeps the
+    # input layout instead of GSPMD-propagated drift
+    step = pin_state_sharding(train_step, state)
     with use_sharding(mesh):
-        compiled = jax.jit(train_step).lower(state, batch, jax.random.key(0)).compile()
-        new_state, metrics = compiled(state, batch, jax.random.key(0))
+        compiled = jax.jit(step).lower(state, batch, jax.random.key(0)).compile()
+        # execution gated: XLA:CPU in-process collectives can cyclically
+        # deadlock on thread-starved hosts (mesh.py:virtual_mesh_exec_ok)
+        if virtual_mesh_exec_ok():
+            new_state, metrics = compiled(state, batch, jax.random.key(0))
     err = capfd.readouterr().err
     assert "Involuntary full rematerialization" not in err, err[-2000:]
-    assert np.isfinite(float(metrics["total"]))
+    if virtual_mesh_exec_ok():
+        assert np.isfinite(float(metrics["total"]))

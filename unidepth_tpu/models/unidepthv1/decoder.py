@@ -19,6 +19,7 @@ from unidepth_tpu.nn.nystrom import NystromBlock
 from unidepth_tpu.nn.upsample import ConvUpsample
 from unidepth_tpu.ops.fourier import position_embedding_sine
 from unidepth_tpu.ops.resize import flat_interpolate
+from unidepth_tpu.parallel.mesh import constrain
 from unidepth_tpu.ops.sht import rsh_cart_8
 from unidepth_tpu.geometry.rays import generate_rays
 
@@ -253,20 +254,30 @@ class DecoderV1(nn.Module):
         shapes_per_level = [tuple(f.shape[1:3]) for f in features]
         level_shapes = sorted(set(shapes_per_level), reverse=True)
         gh, gw = level_shapes[-2] if len(level_shapes) > 1 else level_shapes[0]
+        # Seam constraint: each adapted level fans out to both the camera
+        # and depth heads; without pinning the layout here their backward
+        # cotangents arrive differently sharded and GSPMD's add_any falls
+        # back to involuntary full rematerialization (2x2x2 dryrun,
+        # transpose(jvp(DecoderV1))/input_adapter_*). The constraint
+        # differentiates to itself, so it pins the cotangent layout too.
+        # No-op without an ambient mesh.
         feats = [
-            adapter(
-                flat_interpolate(
-                    f.reshape(b, f.shape[1] * f.shape[2], -1),
-                    old=tuple(f.shape[1:3]),
-                    new=(gh, gw),
-                    antialias=True,
-                )
+            constrain(
+                adapter(
+                    flat_interpolate(
+                        f.reshape(b, f.shape[1] * f.shape[2], -1),
+                        old=tuple(f.shape[1:3]),
+                        new=(gh, gw),
+                        antialias=True,
+                    )
+                ),
+                ("data", "fsdp"),
             )
             for adapter, f in zip(self.input_adapter, features)
         ]
         # reference reverses block order for the camera tokens
         cams = [
-            adapter(t)
+            constrain(adapter(t), ("data", "fsdp"))
             for adapter, t in zip(self.token_adapter, cls_tokens[::-1])
         ]
         cls_cat = jnp.concatenate(cams, axis=1)

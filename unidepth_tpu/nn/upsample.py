@@ -13,6 +13,7 @@ from flax import linen as nn
 
 from unidepth_tpu.nn.conv import Conv2d
 from unidepth_tpu.ops.resize import resize
+from unidepth_tpu.parallel.mesh import constrain
 
 Dtype = jnp.dtype
 
@@ -30,6 +31,13 @@ class CvnxtBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Seam constraint: upstream attention blocks leave activations
+        # tp-sharded over channels; the grouped dwconv cannot consume that
+        # layout and GSPMD falls back to involuntary full rematerialization
+        # (observed on the 2x2x2 dryrun in jvp(DecoderV1)/depth_layer/up*).
+        # These decoder maps are small — batch-shard, channel-replicate.
+        # No-op without an ambient mesh (parallel/mesh.py:constrain).
+        x = constrain(x, ("data", "fsdp"))
         inp = x
         x = Conv2d(
             self.dim,

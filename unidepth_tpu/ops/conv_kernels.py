@@ -128,7 +128,7 @@ def _conv3x3_fwd(x, w, bias, *, padding_mode: str, rows: int):
         kern,
         grid=(b, n_row_blocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((9 * cout, cin), lambda bb, rr: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

@@ -331,7 +331,7 @@ def sharded_flash_attention_packed(q, k, v, num_heads: int):
     if (not batch_axes and tp == 1) or b % b_div != 0 or num_heads % tp != 0:
         return flash_attention_packed(q, k, v, num_heads)
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(batch_axes if batch_axes else None, None, "tp" if tp > 1 else None)
     local_heads = num_heads // tp
@@ -341,7 +341,7 @@ def sharded_flash_attention_packed(q, k, v, num_heads: int):
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v)
 
@@ -386,7 +386,7 @@ def sharded_flash_attention(q, k, v, scale: float | None = None):
     if (not batch_axes and tp == 1) or b % b_div != 0 or h % tp != 0:
         return _flat(q, k, v)
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(batch_axes if batch_axes else None, "tp" if tp > 1 else None)
     fn = shard_map(
@@ -394,7 +394,7 @@ def sharded_flash_attention(q, k, v, scale: float | None = None):
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v)
 

@@ -33,7 +33,29 @@ __all__ = [
     "use_sharding",
     "ambient_mesh",
     "constrain",
+    "pin_state_sharding",
+    "virtual_mesh_exec_ok",
 ]
+
+
+def virtual_mesh_exec_ok() -> bool:
+    """True when EXECUTING multi-device programs on the host-CPU virtual
+    mesh is safe; compilation is always safe.
+
+    XLA:CPU's in-process collectives block the calling thread in a
+    rendezvous, and the thunk executor may start independent collectives
+    in different orders on different devices. On a host with a single
+    usable core each device has one executor thread, so two collectives
+    with overlapping participant sets can each hold the only thread of a
+    device the other needs — a true cyclic deadlock ending in the
+    rendezvous terminate-timeout SIGABRT (observed on a 1-core container:
+    all 8 device threads blocked across 3 different rendezvous). With >=2
+    cores every pending collective keeps making progress. Tests use this
+    to keep compile-time partitioning/layout assertions everywhere while
+    running the actual step only where it cannot deadlock."""
+    import os
+
+    return jax.default_backend() != "cpu" or (os.cpu_count() or 1) >= 2
 
 
 # ---------------------------------------------------------------------------
@@ -61,6 +83,44 @@ def use_sharding(mesh: Mesh):
 
 def ambient_mesh() -> Mesh | None:
     return getattr(_AMBIENT, "mesh", None)
+
+
+def pin_state_sharding(step_fn, state):
+    """Wrap a ``(state, *rest) -> (state, aux)`` step so the output state
+    carries EXACTLY the input state's shardings.
+
+    Without this, GSPMD picks output layouts by propagation, which can
+    diverge from the input spec on individual leaves (observed: a
+    replicated small Adam ``mu`` coming back fsdp-sharded because its
+    gradient arrives sharded). The drift breaks the ZeRO-3 invariant
+    (opt state laid out like params) and makes the NEXT call a new jit
+    signature — a silent recompile every step. Pin against the concrete
+    shardings of ``state`` at wrap time; leaves without a sharding
+    (python ints before device_put) pass through unpinned."""
+    _UNPINNED = "unpinned"  # None would be an empty pytree node
+
+    def _pinnable(x):
+        # only mesh-placed leaves: pinning a SingleDeviceSharding (e.g. the
+        # not-device_put step counter) would mix device sets inside the jit
+        s = getattr(x, "sharding", None)
+        return s if isinstance(s, NamedSharding) else _UNPINNED
+
+    shardings = jax.tree.map(_pinnable, state)
+
+    def wrapped(state, *rest):
+        new_state, aux = step_fn(state, *rest)
+        new_state = jax.tree.map(
+            lambda x, s: (
+                x
+                if isinstance(s, str)
+                else jax.lax.with_sharding_constraint(x, s)
+            ),
+            new_state,
+            shardings,
+        )
+        return new_state, aux
+
+    return wrapped
 
 
 def constrain(x, *spec):
@@ -222,7 +282,11 @@ def tp_param_sharding(mesh: Mesh, params):
                 axis = x.ndim - 2  # contraction (input) dim
             if axis is not None and x.shape[axis] % tp == 0:
                 parts[axis] = "tp"
-                if fsdp > 1 and x.ndim >= 2:
+                # 2D (tp x fsdp) only above the same size floor as the pure
+                # fsdp rule: fsdp on the contraction axis of a small kernel
+                # (e.g. the 512x512 V1 aggregate q) makes GSPMD shard tiny
+                # latent activations channel-wise and rematerialize.
+                if fsdp > 1 and x.ndim >= 2 and x.size >= _FSDP_MIN_SIZE:
                     rest = [
                         (x.shape[a], a) for a in range(x.ndim) if a != axis
                     ]
@@ -235,12 +299,28 @@ def tp_param_sharding(mesh: Mesh, params):
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+# FSDP exists to spread LARGE weights; leaves below this element count are
+# replicated. Besides being pointless to shard (a replicated 2M-element
+# fp32 leaf is 8 MB), small sharded leaves are actively harmful: a
+# depthwise 7x7 conv kernel (7*7*1*C) sharded over its channel axis forces
+# the grouped convolution's output to be channel-sharded, and a square
+# decoder adapter kernel sharded on its contraction axis makes GSPMD
+# propagate channel sharding into tiny latent activations — both observed
+# to end in involuntary full rematerialization on the 2x2x2 dryrun
+# (jvp(DecoderV1)/depth_layer/up*/dwconv, input_adapter_*/add_any). The
+# floor keeps every encoder GEMM sharded — the smallest is a scanned
+# ViT-S segment's stacked qkv kernel at 1.3M elements — while replicating
+# decoder plumbing (the largest offender, a 1536x512 V1 adapter kernel,
+# is 0.8M).
+_FSDP_MIN_SIZE = 1024 * 1024
+
+
 def _fsdp_spec_fn(mesh: Mesh):
     """Shape-driven per-leaf spec: largest divisible axis over fsdp."""
     fsdp = mesh.shape.get("fsdp", 1)
 
     def spec(x):
-        if fsdp == 1 or x.ndim == 0:
+        if fsdp == 1 or x.ndim == 0 or x.size < _FSDP_MIN_SIZE:
             return NamedSharding(mesh, P())
         sizes = list(x.shape)
         axis = int(np.argmax(sizes))
