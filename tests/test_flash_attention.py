@@ -58,3 +58,24 @@ def test_flash_bf16_accumulation(rng):
     ref = _ref(jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(vf))
     # bf16 inputs, fp32 softmax: expect ~1e-2 agreement
     assert np.abs(np.asarray(out, np.float32) - ref).max() < 0.05
+
+
+def test_pick_blk_q_packed_balanced():
+    """The packed kernel's q-block chooser: blocks are 8-sublane aligned,
+    cover the sequence in the promised number of grid steps, and respect
+    the ~10 MB VMEM score-slab budget (docs/PERF.md r3 kernel work)."""
+    from unidepth_tpu.ops.flash_attention import _pick_blk_q_packed
+
+    # ViT-L serving shape: two balanced 688-blocks, not three of 512
+    assert _pick_blk_q_packed(1370, 1408) == 688
+    for nq in (64, 257, 777, 1370, 2048, 3000):
+        for n_pad_k in (128, 1408, 4096):
+            blk = _pick_blk_q_packed(nq, n_pad_k)
+            assert blk % 8 == 0 and blk >= 8
+            # the implied grid covers nq with no wholly-padded block
+            nb = -(-nq // blk)
+            assert nb * blk >= nq
+            assert (nb - 1) * blk < nq
+            # fp32 scores + bf16 p copy stay within the working budget
+            # (floor of 128 rows overrides the budget at huge n_pad_k)
+            assert blk <= max(128, 10_000_000 // (6 * n_pad_k) // 8 * 8 + 7)

@@ -20,6 +20,7 @@ from unidepth_tpu.parallel.mesh import (
     fsdp_param_sharding,
     make_mesh,
     pin_state_sharding,
+    virtual_mesh_exec_ok,
 )
 from unidepth_tpu.training.optim import build_optimizer
 from unidepth_tpu.training.step import make_train_step
@@ -122,12 +123,30 @@ def test_opt_state_and_ema_shard_like_params():
     # pin_state_sharding: without it GSPMD propagates gradient shardings
     # into small replicated opt leaves and the output layout drifts from
     # the input spec (recompile flap + broken ZeRO-3 invariant)
-    new_state, metrics = jax.jit(pin_state_sharding(train_step, state))(
-        state, batch, jax.random.key(0)
+    compiled = (
+        jax.jit(pin_state_sharding(train_step, state))
+        .lower(state, batch, jax.random.key(0))
+        .compile()
     )
-    assert np.isfinite(float(metrics["total"]))
     # layout is preserved through the step (no silent gather to replicated)
-    assert check_tree(new_state.opt_state, "opt-after") > 20
+    # — asserted on the compiled output shardings so it holds even when
+    # execution is gated off below
+    out_shardings, _ = compiled.output_shardings
+    n_sharded = 0
+    for path, s in _param_leaf_index(out_shardings.opt_state).items():
+        for pname, pspec in param_spec.items():
+            if path.endswith(pname):
+                assert norm(s.spec) == norm(pspec), (path, s.spec, pspec)
+                if pspec != P():
+                    n_sharded += 1
+                break
+    assert n_sharded > 20
+    # execution gated: XLA:CPU in-process collectives can cyclically
+    # deadlock on thread-starved hosts (mesh.py:virtual_mesh_exec_ok)
+    if virtual_mesh_exec_ok():
+        new_state, metrics = compiled(state, batch, jax.random.key(0))
+        assert np.isfinite(float(metrics["total"]))
+        assert check_tree(new_state.opt_state, "opt-after") > 20
 
 
 def test_check_batch_divisibility():
