@@ -61,12 +61,17 @@ def main(argv=None):
     config_override = None
     if args.config:
         config_override = json.loads(Path(args.config).read_text())
+    in_path = Path(args.input)
     version = args.version
     if version is None:
-        name = (config_override or {}).get("model", {}).get("name", "UniDepthV2")
+        # generation from (in order): --config override, the input
+        # checkpoint dir's own config.json, else V2
+        cfg_for_name = config_override
+        if cfg_for_name is None and in_path.is_dir() and (in_path / "config.json").exists():
+            cfg_for_name = json.loads((in_path / "config.json").read_text())
+        name = (cfg_for_name or {}).get("model", {}).get("name", "UniDepthV2")
         version = 1 if name == "UniDepthV1" else 2
 
-    in_path = Path(args.input)
     if config_override is not None and in_path.is_dir() and not (in_path / "config.json").exists():
         # bare weight dir + explicit config: point at the weight file directly
         for cand in ("model.safetensors", "pytorch_model.bin", "model.bin"):
@@ -97,11 +102,13 @@ def verify(ckpt_dir: Path) -> int:
     check (reference scripts/demo.py:28-41)."""
     from PIL import Image
 
-    from unidepth_tpu.models import UniDepthV1, UniDepthV2
+    from unidepth_tpu.models import UniDepthV1, UniDepthV2, UniDepthV2old
 
     config = json.loads((Path(ckpt_dir) / "config.json").read_text())
     name = config.get("model", {}).get("name", "UniDepthV2")
-    cls = UniDepthV1 if name == "UniDepthV1" else UniDepthV2
+    cls = {"UniDepthV1": UniDepthV1, "UniDepthV2old": UniDepthV2old}.get(
+        name, UniDepthV2
+    )
     model = cls.from_pretrained(str(ckpt_dir))
 
     root = Path(__file__).resolve().parents[1]

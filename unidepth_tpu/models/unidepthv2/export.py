@@ -16,11 +16,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import threading
 from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_EXPORT_LOCK = threading.Lock()
 
 
 def export_forward(model, params, shape: tuple[int, int], with_camera: bool = False, batch: int = 1):
@@ -44,22 +47,29 @@ def export_forward(model, params, shape: tuple[int, int], with_camera: bool = Fa
         return out["points"], out["confidence"], out["intrinsics"]
 
     img_spec = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
-    prev_encoder = model.encoder
-    prev_env = os.environ.get("UNIDEPTH_ATTN_IMPL")
-    model.encoder = prev_encoder.clone(attn_impl="xla")
-    os.environ["UNIDEPTH_ATTN_IMPL"] = "xla"  # decoder attention dispatcher
-    try:
-        if with_camera:
-            rays_spec = jax.ShapeDtypeStruct((batch, h * w, 3), jnp.float32)
-            exported = jax_export.export(jax.jit(fwd))(params, img_spec, rays_spec)
-        else:
-            exported = jax_export.export(jax.jit(lambda p, x: fwd(p, x)))(params, img_spec)
-    finally:
-        model.encoder = prev_encoder
-        if prev_env is None:
-            os.environ.pop("UNIDEPTH_ATTN_IMPL", None)
-        else:
-            os.environ["UNIDEPTH_ATTN_IMPL"] = prev_env
+    # The xla-attention forcing below mutates process state (env var +
+    # model.encoder) for the duration of the trace; serialize exports and
+    # keep serving traces out of this window (a concurrent trace would be
+    # captured with the swapped encoder / env).
+    with _EXPORT_LOCK:
+        prev_encoder = model.encoder
+        prev_env = os.environ.get("UNIDEPTH_ATTN_IMPL")
+        model.encoder = prev_encoder.clone(attn_impl="xla")
+        os.environ["UNIDEPTH_ATTN_IMPL"] = "xla"  # decoder attention dispatcher
+        try:
+            if with_camera:
+                rays_spec = jax.ShapeDtypeStruct((batch, h * w, 3), jnp.float32)
+                exported = jax_export.export(jax.jit(fwd))(params, img_spec, rays_spec)
+            else:
+                exported = jax_export.export(
+                    jax.jit(lambda p, x: fwd(p, x))
+                )(params, img_spec)
+        finally:
+            model.encoder = prev_encoder
+            if prev_env is None:
+                os.environ.pop("UNIDEPTH_ATTN_IMPL", None)
+            else:
+                os.environ["UNIDEPTH_ATTN_IMPL"] = prev_env
     return exported.serialize()
 
 

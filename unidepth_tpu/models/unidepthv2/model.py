@@ -257,7 +257,6 @@ class UniDepthV2:
         program inside one jitted fori_loop."""
         (H, W, pads, padded, new_hw, factor, has_camera, normalize, outputs) = shape_key
         pl, pr, pt, pb = pads
-        padded_h, padded_w = padded
         new_h, new_w = new_hw
 
         def run(params, rgb, camera):
@@ -386,7 +385,6 @@ class UniDepthV2:
 
     def _infer_core_mode(self, rgb, camera, normalize, pads, padded, new_hw, factor):
         pl, pr, pt, pb = pads
-        padded_h, padded_w = padded
         new_h, new_w = new_hw
         pre_key = ("pre", rgb.shape[1:3], pads, new_hw, normalize)
         if pre_key not in self._jit_cache:

@@ -64,12 +64,17 @@ def attention(
         impl = os.environ.get("UNIDEPTH_ATTN_IMPL", "auto")
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    use_flash = impl == "flash" or (
-        impl == "auto"
-        and bias is None
-        and min(nq, nk) >= 1024
-        and d <= 128
-        and jax.default_backend() not in ("cpu",)
+    # a bias ALWAYS forces the XLA path — the flash kernel has no additive
+    # bias support, so honoring impl='flash' here would silently compute
+    # unbiased attention
+    use_flash = bias is None and (
+        impl == "flash"
+        or (
+            impl == "auto"
+            and min(nq, nk) >= 1024
+            and d <= 128
+            and jax.default_backend() not in ("cpu",)
+        )
     )
     if not use_flash:
         return sdpa(q, k, v, bias=bias)

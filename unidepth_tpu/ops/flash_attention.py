@@ -157,7 +157,7 @@ def flash_attention(q, k, v, blk_q: int | None = None, blk_k: int | None = None,
     return _flash_fwd(q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale)
 
 
-def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, blk_k: int, n_real: int, d: int):
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real: int, d: int):
     """Single-pass attention over a 128-lane block holding ``128 // d``
     head slabs side by side (Mosaic requires lane-dim blocks of 128): each
     head's (blk_q, d) slice is processed independently with static lane
@@ -216,7 +216,7 @@ def _flash_fwd_packed(q, k, v, *, blk_q: int, scale: float, num_heads: int):
 
     grid = (b, c // blk_c, n_pad_q // blk_q)
     out = pl.pallas_call(
-        functools.partial(_packed_kernel, blk_k=n_pad_k, n_real=nk, d=d),
+        functools.partial(_packed_kernel, n_real=nk, d=d),
         grid=grid,
         interpret=jax.default_backend() == "cpu",
         in_specs=[

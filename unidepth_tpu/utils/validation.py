@@ -103,7 +103,14 @@ def validate(
     240x320 are strided down first, the analogue of the reference's
     nearest resize OOM guard (evaluation_depth.py:154-161).
     """
-    fwd = jax.jit(lambda p, img, rays: model.encode_decode(p, img, rays_gt=rays))
+    # one jitted forward per MODEL, cached across validate() calls: a fresh
+    # jax.jit(lambda) every interval would be a new cache key and recompile
+    # the full forward each time (train.py makes the same point for its
+    # artifact forward)
+    fwd = getattr(model, "_val_fwd", None)
+    if fwd is None:
+        fwd = jax.jit(lambda p, img, rays: model.encode_decode(p, img, rays_gt=rays))
+        model._val_fwd = fwd
     results = {}
     for name, loader in val_loaders.items():
         acc = MetricAccumulator(name)
