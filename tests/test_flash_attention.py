@@ -71,11 +71,12 @@ def test_pick_blk_q_packed_balanced():
     for nq in (64, 257, 777, 1370, 2048, 3000):
         for n_pad_k in (128, 1408, 4096):
             blk = _pick_blk_q_packed(nq, n_pad_k)
-            assert blk % 8 == 0 and blk >= 8
+            # 16-sublane aligned: the bf16 Mosaic tile granule
+            assert blk % 16 == 0 and blk >= 16
             # the implied grid covers nq with no wholly-padded block
             nb = -(-nq // blk)
             assert nb * blk >= nq
             assert (nb - 1) * blk < nq
             # fp32 scores + bf16 p copy stay within the working budget
             # (floor of 128 rows overrides the budget at huge n_pad_k)
-            assert blk <= max(128, 10_000_000 // (6 * n_pad_k) // 8 * 8 + 7)
+            assert blk <= max(128, 10_000_000 // (6 * n_pad_k) // 16 * 16 + 15)

@@ -137,14 +137,21 @@ def _xla_attention(q, k, v, scale):
     ).astype(v.dtype)
 
 
-def _pick_blocks(n: int, blk_q: int | None, blk_k: int | None):
+def _pick_blocks(nq: int, nk: int, blk_q: int | None, blk_k: int | None):
     """Measured on v5e (d=64): large q blocks and whole-K blocks win for
-    UniDepth's 1.4-3k token range (single-pass online softmax)."""
-    if blk_q is None:
-        blk_q = 512
+    UniDepth's 1.4-3k token range (single-pass online softmax). In the
+    whole-K regime the q blocks are balanced like the packed kernel's
+    (fewest blocks within the VMEM score-slab budget, sized to
+    ceil(nq/blocks)): at N=1369 that is two 688-row blocks instead of
+    three of 512 — 10% less padded work (docs/PERF.md r3 kernel work)."""
     if blk_k is None:
-        n_pad = -(-n // 512) * 512
+        n_pad = -(-nk // 512) * 512
         blk_k = n_pad if n_pad <= 4096 else 1024
+    if blk_q is None:
+        if blk_k >= nk:  # whole-K single pass
+            blk_q = _pick_blk_q_packed(nq, -(-nk // 128) * 128)
+        else:
+            blk_q = 512
     return blk_q, blk_k
 
 
@@ -153,7 +160,7 @@ def flash_attention(q, k, v, blk_q: int | None = None, blk_k: int | None = None,
     """q, k, v: (BH, N, D) -> (BH, N, D). fp32 softmax, bf16-friendly."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    blk_q, blk_k = _pick_blocks(k.shape[1], blk_q, blk_k)
+    blk_q, blk_k = _pick_blocks(q.shape[1], k.shape[1], blk_q, blk_k)
     return _flash_fwd(q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale)
 
 
@@ -247,17 +254,18 @@ def _xla_attention_packed(q, k, v, scale, num_heads):
 
 
 def _pick_blk_q_packed(nq: int, n_pad_k: int) -> int:
-    """Balanced q blocks for the packed kernel: split nq into the fewest
-    blocks whose fp32 score slab (+ bf16 p copy, ~6 B/elem) stays inside a
-    ~10 MB VMEM working budget, then size the block to ceil(nq/blocks)
-    rounded up to the 8-sublane granule. At the ViT-L serving shape
-    (N=1370) this yields two blocks of 688 instead of three of 512 —
-    measured 4% faster (12% less padded work, fewer grid steps)."""
-    budget_rows = max(128, (10_000_000 // (6 * n_pad_k)) // 8 * 8)
+    """Balanced q blocks: split nq into the fewest blocks whose fp32 score
+    slab (+ bf16 p copy, ~6 B/elem) stays inside a ~10 MB VMEM working
+    budget, then size the block to ceil(nq/blocks) rounded up to the
+    16-sublane granule (the bf16 Mosaic tile; also divisible by fp32's 8).
+    At the ViT-L serving shape (N=1370) this yields two blocks of 688
+    instead of three of 512 — measured 4% faster (12% less padded work,
+    fewer grid steps)."""
+    budget_rows = max(128, (10_000_000 // (6 * n_pad_k)) // 16 * 16)
     max_blk = min(704, budget_rows)
     nb = -(-nq // max_blk)
     per = -(-nq // nb)
-    return -(-per // 8) * 8
+    return -(-per // 16) * 16
 
 
 def _packed_supported(nk: int, c: int, num_heads: int) -> bool:
@@ -402,7 +410,7 @@ def sharded_flash_attention(q, k, v, scale: float | None = None):
 def _fwd(q, k, v, blk_q, blk_k, scale):
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    blk_q, blk_k = _pick_blocks(k.shape[1], blk_q, blk_k)
+    blk_q, blk_k = _pick_blocks(q.shape[1], k.shape[1], blk_q, blk_k)
     return _flash_fwd(q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale), (q, k, v)
 
 
