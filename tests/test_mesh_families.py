@@ -125,3 +125,45 @@ def test_v2old_forward_on_mesh():
     np.testing.assert_allclose(
         np.asarray(ref["depth"]), np.asarray(out["depth"]), rtol=1e-3, atol=1e-3
     )
+
+
+def test_v2old_train_step_on_mesh(capfd):
+    """V2old (GlobalHead) TRAIN step over dp x fsdp x tp = 2x2x2 — the
+    last model generation with no training-on-mesh coverage (reference
+    trains all three under DDP, scripts/train.py:111). Its decoder returns
+    the same depth/confidence/rays slots, so the V2 loss recipe applies
+    unchanged; GSPMD must partition the step without involuntary full
+    rematerialization."""
+    assert len(jax.devices()) == 8
+    from unidepth_tpu.models.unidepthv2.old import UniDepthV2old
+    from unidepth_tpu.training.optim import build_optimizer
+    from unidepth_tpu.training.step import make_train_step
+
+    cfg = json.loads((ROOT / "configs/config_v2old_vits14.json").read_text())
+    mesh = make_mesh(data=2, fsdp=2, tp=2)
+    model = UniDepthV2old.from_config(cfg, dtype=jnp.float32)
+    h = w = 28
+    params = model.init_params(seed=0, image_shape=(h, w))
+    opt = build_optimizer(
+        params, warmup_iters=2, total_iters=10,
+        num_encoder_layers=model.encoder_cfg.depth,
+    )
+    init_state, train_step = make_train_step(model, opt, cfg)
+    state = init_state(params)
+    state = state._replace(
+        params=jax.device_put(state.params, tp_param_sharding(mesh, state.params)),
+        opt_state=jax.device_put(state.opt_state, tp_param_sharding(mesh, state.opt_state)),
+        ema=jax.device_put(state.ema, tp_param_sharding(mesh, state.ema)),
+    )
+    batch = _v1_batch(8, h, w)
+    bshard = NamedSharding(mesh, P(None, ("data", "fsdp")))
+    batch = {k: jax.device_put(jnp.asarray(v), bshard) for k, v in batch.items()}
+    capfd.readouterr()  # drain
+    step = pin_state_sharding(train_step, state)
+    with use_sharding(mesh):
+        compiled = jax.jit(step).lower(state, batch, jax.random.key(0)).compile()
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err[-2000:]
+    if virtual_mesh_exec_ok():
+        _, metrics = compiled(state, batch, jax.random.key(0))
+        assert np.isfinite(float(metrics["total"])), metrics
