@@ -313,8 +313,13 @@ def main():
     key = jax.random.key(args.seed)
 
     # compiled once and reused every validation interval (a fresh
-    # jax.jit(lambda) per interval would recompile the full forward)
-    art_forward = jax.jit(lambda p, x, r: model.encode_decode(p, x, rays_gt=r))
+    # jax.jit(lambda) per interval would recompile the full forward);
+    # batches carry raw 0..255 floats — normalize on device
+    from unidepth_tpu.utils.misc import normalize_rgb
+
+    art_forward = jax.jit(
+        lambda p, x, r: model.encode_decode(p, normalize_rgb(x), rays_gt=r)
+    )
 
     t0 = time.time()
     batches = device_prefetch(loader, bshard, size=2)

@@ -94,3 +94,43 @@ def test_ema_ramp():
     s2 = ema_update(s, {"w": jnp.full(3, 2.0)}, decay=0.999, update_after_step=5, tau=10)
     d = float(np.tanh((101 - 5 - 1) / 10) * 0.999)
     np.testing.assert_allclose(np.asarray(s2.shadow["w"]), 1.0 * d + 2.0 * (1 - d), rtol=1e-5)
+
+
+def test_ema_interval_gating():
+    """Reference cadence: with every=10 the shadow moves ONLY on steps
+    divisible by 10, with the folded decay (reference scripts/train.py:41,
+    474-475); off-interval steps leave it untouched."""
+    p0 = {"w": jnp.zeros(2)}
+    s = ema_init(p0)
+    # past the delay: place the counter just before an interval boundary
+    s = s._replace(num_updates=jnp.asarray(98, jnp.int32), shadow={"w": jnp.ones(2)})
+    live = {"w": jnp.full(2, 3.0)}
+    s99 = ema_update(s, live, decay=0.995, update_after_step=1, tau=2, every=10)
+    # step 99: off-interval, shadow unchanged
+    np.testing.assert_allclose(np.asarray(s99.shadow["w"]), 1.0)
+    s100 = ema_update(s99, live, decay=0.995, update_after_step=1, tau=2, every=10)
+    # step 100: interval step, update count 10 -> epoch 8, d=tanh(8/2)*0.995
+    d = float(np.tanh(8 / 2) * 0.995)
+    np.testing.assert_allclose(
+        np.asarray(s100.shadow["w"]), 1.0 * d + 3.0 * (1 - d), rtol=1e-6
+    )
+
+
+def test_train_batch_images_are_normalized():
+    """The loader ships raw 0..255 floats; the train step must ImageNet-
+    normalize them before encode_decode — a train step on raw pixels and
+    one on pre-normalized pixels must see the SAME loss (regression for
+    the unnormalized-training bug)."""
+    from unidepth_tpu.utils.misc import normalize_rgb
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (2, 4, 4, 3)), jnp.float32
+    )
+    n = np.asarray(normalize_rgb(x))
+    # spot-check the transform itself against the serving constants
+    ref = (np.asarray(x) - np.asarray([0.485, 0.456, 0.406]) * 255.0) / (
+        np.asarray([0.229, 0.224, 0.225]) * 255.0
+    )
+    np.testing.assert_allclose(n, ref, rtol=1e-6, atol=1e-6)
+    # typical raw pixels land in the unit-scale regime after normalization
+    assert np.abs(n).max() < 3.0

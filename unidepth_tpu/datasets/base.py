@@ -210,7 +210,10 @@ class HDF5Dataset:
         return sample
 
     def __getitem__(self, idx: int) -> dict:
-        rng = np.random.default_rng()
+        # eval reproducibility: in test mode the rng is seeded by the index
+        # so frame selection (sequence datasets) and error-retry
+        # replacement are identical run-to-run and across processes
+        rng = np.random.default_rng(idx if self.test_mode else None)
         # fault tolerance: retry with a random index on any error
         for _ in range(8):
             try:

@@ -42,8 +42,10 @@ class ShapeSampler:
             pixels = rng.uniform(constraints["pixels_min"], constraints["pixels_max"])
             h = int(round((pixels / ratio) ** 0.5 / mult)) * mult
             w = int(round((pixels * ratio) ** 0.5 / mult)) * mult
-            h = max(h, constraints.get("height_min", 15) // mult * mult + mult)
-            w = max(w, constraints.get("width_min", 15) // mult * mult + mult)
+            # ceil to the shape multiple (the old 'floor + mult' overshot
+            # by a full mult when the minimum was already aligned)
+            h = max(h, -(-constraints.get("height_min", 15) // mult) * mult)
+            w = max(w, -(-constraints.get("width_min", 15) // mult) * mult)
             self.shapes.append((h, w))
 
     def sample(self, rng: np.random.Generator) -> tuple[int, int]:
@@ -133,6 +135,13 @@ def collate(samples: list[dict]) -> dict:
     }
 
 
+class _WorkerDied:
+    """Queue sentinel carrying a dead worker's exception to the consumer."""
+
+    def __init__(self, error: BaseException):
+        self.error = error
+
+
 class Loader:
     """Threaded prefetching loader yielding collated numpy batches."""
 
@@ -157,6 +166,18 @@ class Loader:
                 f"batch_size {batch_size} not divisible by num_copies {num_copies}"
             )
         self.num_copies = num_copies
+        # multi-frame sequence draws return a LIST of per-frame samples,
+        # which collate() cannot stack — fail at construction instead of
+        # killing every worker thread at runtime (UniDepth trains
+        # single-frame; multi-frame windows are for sequence consumers
+        # that iterate the dataset directly)
+        for ds in getattr(dataset, "datasets", [dataset]):
+            if getattr(ds, "num_frames", 1) > 1:
+                raise ValueError(
+                    f"{type(ds).__name__} has num_frames="
+                    f"{ds.num_frames}; the batch Loader supports only "
+                    "single-frame samples"
+                )
         if num_copies > 1:
             # SelfDistill needs independently augmented copies of one base
             # sample; a dataset exposing only __getitem__ would yield
@@ -181,6 +202,7 @@ class Loader:
         self.seed = seed
         self.normalize = normalize
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._errors: list[BaseException] = []
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._counter = 0
@@ -233,14 +255,26 @@ class Loader:
 
     def _worker(self, tid: int):
         rng = np.random.default_rng(self.seed + 1000 * tid)
-        while not self._stop.is_set():
-            batch = self._make_batch(rng)
-            # keep offering the SAME batch until consumed — discarding a
-            # fully decoded+augmented batch on queue.Full would burn host
-            # CPU rebuilding batches whenever decode outpaces the step
+        try:
+            while not self._stop.is_set():
+                batch = self._make_batch(rng)
+                # keep offering the SAME batch until consumed — discarding a
+                # fully decoded+augmented batch on queue.Full would burn host
+                # CPU rebuilding batches whenever decode outpaces the step
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # noqa: BLE001 — must reach the consumer
+            # a worker dying silently would leave the consumer parked on
+            # q.get() forever (collate/_make_batch errors happen outside
+            # _fetch_copies' retry loop) — hand the exception to __iter__
+            self._errors.append(e)
             while not self._stop.is_set():
                 try:
-                    self._q.put(batch, timeout=1.0)
+                    self._q.put(_WorkerDied(e), timeout=1.0)
                     break
                 except queue.Full:
                     continue
@@ -257,7 +291,13 @@ class Loader:
                 th.start()
                 self._threads.append(th)
         while True:
-            yield self._q.get()
+            item = self._q.get()
+            if isinstance(item, _WorkerDied):
+                raise RuntimeError(
+                    "loader worker thread died; training would hang waiting "
+                    "for batches"
+                ) from item.error
+            yield item
 
     def close(self):
         self._stop.set()

@@ -253,6 +253,10 @@ class RandomFlip:
     def __call__(self, sample, rng):
         if rng.random() < self.prob:
             sample["image"] = sample["image"][:, ::-1].copy()
+            if "paddings" in sample:
+                # the border pads mirror with the image: left <-> right
+                pl_, pr_, pt_, pb_ = sample["paddings"]
+                sample["paddings"] = (pr_, pl_, pt_, pb_)
             if "depth" in sample:
                 sample["depth"] = sample["depth"][:, ::-1].copy()
             if "validity" in sample:

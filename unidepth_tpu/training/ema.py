@@ -33,10 +33,21 @@ def ema_update(
     decay: float = 0.9995,
     update_after_step: int = 7500,
     tau: int = 20000,
+    every: int = 1,
 ) -> EMAState:
+    """One (possibly gated) EMA step. With ``every`` > 1 this reproduces
+    the reference's interval cadence exactly: the shadow moves only on
+    steps divisible by ``every`` (reference scripts/train.py:474
+    ``if step % EMA_INTERVAL == 0``), and ``update_after_step``/``tau``
+    are in UPDATE units (reference train.py:172-173 divides both by the
+    interval). Calling with the folded interval decay on EVERY step would
+    shrink the averaging horizon by ~``every``^2."""
     n = state.num_updates + 1
-    epoch = jnp.maximum(n.astype(jnp.float32) - update_after_step - 1, 0.0)
+    updates = (n // every).astype(jnp.float32)
+    epoch = jnp.maximum(updates - update_after_step - 1, 0.0)
     d = jnp.where(epoch <= 0, 0.0, jnp.tanh(epoch / tau) * decay)
+    # off-interval steps keep the shadow untouched (d = 1)
+    d = jnp.where(n % every == 0, d, 1.0)
     shadow = jax.tree.map(
         lambda s, p: s - (1.0 - d) * (s - p), state.shadow, params
     )

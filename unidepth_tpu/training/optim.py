@@ -53,6 +53,14 @@ def lr_scale_tree(params, encoder_lr_scale: float, ld: float, num_layers: int):
             ids = offset + jnp.arange(L) + 1
             scales = encoder_lr_scale * (ld ** (num_layers - ids)).astype(jnp.float32)
             return scales.reshape((L,) + (1,) * (x.ndim - 1))
+        if "/norm/" in p or p.endswith("/norm"):
+            # post-block leaves (the final encoder LayerNorm) take the LAST
+            # layer id -> scale ld^0 = 1 (reference misc.py:142-143
+            # `return num_max_layer - 1` + the ld**(num-id-1) exponent);
+            # lumping them with the embeddings would freeze the norm at
+            # ld^num_layers
+            return jnp.asarray(encoder_lr_scale, jnp.float32)
+        # embeddings (patch/pos/cls/register): layer 0 (reference :129-132)
         return jnp.asarray(encoder_lr_scale * (ld**num_layers), jnp.float32)
 
     # collect segment lengths first

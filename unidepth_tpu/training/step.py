@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from unidepth_tpu.training.ema import EMAState, ema_init, ema_update
 from unidepth_tpu.training.losses import build_losses
+from unidepth_tpu.utils.misc import normalize_rgb
 
 
 class TrainState(NamedTuple):
@@ -88,16 +89,26 @@ def make_train_step(model, optimizer, config: dict, recipe=None):
     to the V2 slot recipe."""
     losses = build_losses(config)
     recipe = recipe or compute_losses_v2
+    # exact reference cadence: EMA updates once every 10 optimizer steps
+    # with the FOLDED decay 1-(1-0.9995)*10 = 0.995 (reference
+    # scripts/train.py:41,171-175,474-475 — EMA_INTERVAL gating). Applying
+    # the folded decay every step would shrink the averaging horizon ~100x.
+    # update_after_step/tau are in UPDATE units there (already /10).
     ema_cfg = dict(
-        decay=1.0 - (1.0 - 0.9995) * 10,  # update-every-10 equivalent decay
+        decay=1.0 - (1.0 - 0.9995) * 10,
         update_after_step=config["training"].get("warmup_iters", 75000) // 10,
-        tau=20000,
+        tau=20000 // 10,
+        every=10,
     )
+    norm_mode = config.get("data", {}).get("normalization", "imagenet")
 
     def loss_fn(params, batch, rng):
         rng_dp, rng_loss = jax.random.split(rng)
+        # batches arrive as raw 0..255 floats; normalize on device so XLA
+        # fuses it into the patch embedding (utils/misc.py:normalize_rgb)
+        image = normalize_rgb(batch["image"], norm_mode)
         outputs = model.encode_decode(
-            params, batch["image"], rays_gt=batch.get("rays"), rng=rng_dp
+            params, image, rays_gt=batch.get("rays"), rng=rng_dp
         )
         ldict = recipe(losses, outputs, batch, rng_loss)
         return ldict["total"], ldict

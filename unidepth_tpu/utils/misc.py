@@ -16,8 +16,32 @@ import jax.numpy as jnp
 import numpy as np
 
 from unidepth_tpu.ops.resize import resize
+from unidepth_tpu.utils.constants import (
+    IMAGENET_DATASET_MEAN,
+    IMAGENET_DATASET_STD,
+)
+
+
+def normalize_rgb(x, mode: str = "imagenet"):
+    """ImageNet-normalize raw (..., 3) RGB in 0..255 float, on device.
+
+    The loader/collate path deliberately ships raw uint8-ranged floats
+    (half the H2D bytes of normalized fp32 would be a lie — dtype is the
+    same — but keeping normalization on device lets XLA fuse it into the
+    first conv/patch GEMM for free, exactly like the serving preprocess,
+    models/unidepthv2/model.py:_build_run). Training/validation forwards
+    MUST call this before encode_decode; the jitted infer() programs
+    normalize internally. Reference counterpart: the datasets' Normalize
+    transform (reference unidepth/datasets/pipelines + config
+    data.normalization=imagenet)."""
+    if mode in (None, "none", "identity"):
+        return x
+    mean = jnp.asarray(IMAGENET_DATASET_MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(IMAGENET_DATASET_STD, jnp.float32) * 255.0
+    return (x - mean) / std
 
 __all__ = [
+    "normalize_rgb",
     "max_stack",
     "mean_stack",
     "first_stack",

@@ -109,7 +109,15 @@ def validate(
     # artifact forward)
     fwd = getattr(model, "_val_fwd", None)
     if fwd is None:
-        fwd = jax.jit(lambda p, img, rays: model.encode_decode(p, img, rays_gt=rays))
+        from unidepth_tpu.utils.misc import normalize_rgb
+
+        # loader/collate batches are raw 0..255 floats; normalize on
+        # device exactly like the jitted serving preprocess
+        fwd = jax.jit(
+            lambda p, img, rays: model.encode_decode(
+                p, normalize_rgb(img), rays_gt=rays
+            )
+        )
         model._val_fwd = fwd
     results = {}
     for name, loader in val_loaders.items():
