@@ -156,7 +156,12 @@ def main():
         }
         print(json.dumps(results[name]))
 
+    known = {"vits_single", "vitb_batch8", "v1_convnext", "vitl_all_outputs", "multicam"}
     only = set(args.only.split(",")) if args.only else None
+    if only is not None and only - known:
+        raise SystemExit(
+            f"unknown --only keys {sorted(only - known)}; known: {sorted(known)}"
+        )
 
     def want(k):
         return only is None or k in only
@@ -226,9 +231,16 @@ def main():
         )
         del model
 
-    print(json.dumps({"suite": "bench_suite", "results": list(results)}))
+    print(json.dumps({"suite": "bench_suite", "results": list(results.values())}))
 
     if args.update_doc:
+        # Merge into the sidecar JSON (source of truth) so a --only rerun
+        # refreshes its rows without discarding prior full-run rows, then
+        # regenerate the markdown table from the merged state.
+        sidecar = _ROOT / "docs" / "bench_suite_results.json"
+        merged = json.loads(sidecar.read_text()) if sidecar.exists() else {}
+        merged.update(results)
+        sidecar.write_text(json.dumps(merged, indent=1) + "\n")
         doc = _ROOT / "docs" / "BENCH_SUITE.md"
         lines = [
             "# Serving benchmark suite (BASELINE.json configs)",
@@ -241,7 +253,7 @@ def main():
             "| config | ms/batch | value | unit | note |",
             "|---|---|---|---|---|",
         ]
-        for r in results.values():
+        for r in merged.values():
             lines.append(
                 f"| {r['metric']} | {r['ms_per_batch']} | {r['value']} | "
                 f"{r['unit']} | {r['note']} |"

@@ -211,18 +211,13 @@ def main():
         and not args.dummy_data
         else None
     )
-    if sampler is not None and jax.process_count() > 1:
-        # per-batch shape sampling is process-local (worker rngs + queue
-        # order), so controllers would trace DIFFERENT programs for the
-        # same step and the collective launch would mismatch/hang. Until
-        # shapes are derived from the consumed step index, multi-host runs
-        # use the fixed image_shape bucket.
-        print(
-            "WARNING: per-batch shape sampling disabled under multi-process "
-            "SPMD (controllers must trace identical program shapes); using "
-            f"fixed image_shape={image_shape}"
-        )
-        sampler = None
+    # Per-batch global shape sampling stays ON under multi-process SPMD:
+    # batch n's shape is a pure function of (shape_seed, n) and batches are
+    # delivered in ticket order (Loader.shape_for_batch), so every
+    # controller traces the identical program shape for the same step —
+    # matching the reference's per-batch sample_shape semantics
+    # (reference datasets/utils.py:29-53). shape_seed deliberately excludes
+    # process_index; sample CONTENT stays process-local via `seed`.
     loader = Loader(
         WeightedConcat(datasets, sampling=config["data"].get("sampling")),
         batch_size=local_bs,
@@ -231,6 +226,7 @@ def main():
         num_threads=4,
         seed=args.seed + jax.process_index(),
         num_copies=config["data"].get("num_copies", 1),
+        shape_seed=args.seed,
     )
     # accum > 1: leaves are (accum, batch, ...) — shard axis 1; accum == 1:
     # the Loader emits flat (batch, ...) — shard axis 0 (train_step promotes

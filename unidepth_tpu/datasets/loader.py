@@ -156,6 +156,7 @@ class Loader:
         seed: int = 0,
         normalize: bool = True,
         num_copies: int = 1,
+        shape_seed: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -201,17 +202,40 @@ class Loader:
         self.prefetch = prefetch
         self.seed = seed
         self.normalize = normalize
+        # shape_seed: multi-host SPMD mode (reference samples a new
+        # (ratio, pixels) shape per batch, datasets/utils.py:29-53; under
+        # SPMD every controller must trace the SAME program shape for the
+        # same step). When set, batch n's shape is a pure function of
+        # (shape_seed, n) — identical on every process regardless of
+        # worker scheduling — and batches are delivered in ticket order n.
+        self.shape_seed = shape_seed
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._errors: list[BaseException] = []
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._counter = 0
         self._lock = threading.Lock()
+        # ordered mode: cap in-flight tickets so one slow worker can't let
+        # the others run arbitrarily far ahead (the consumer must stash
+        # every out-of-order batch it drains; the window bounds that stash)
+        self._window = threading.BoundedSemaphore(num_threads + prefetch)
 
-    def _make_batch(self, rng: np.random.Generator) -> dict:
-        shape = (
-            self.shape_sampler.sample(rng) if self.shape_sampler else None
+    @property
+    def _ordered(self) -> bool:
+        return self.shape_seed is not None and self.shape_sampler is not None
+
+    def shape_for_batch(self, n: int) -> tuple[int, int]:
+        """Deterministic per-batch shape: same (shape_seed, n) -> same shape
+        on every host (the step-index derivation from VERDICT r3 #5)."""
+        return self.shape_sampler.sample(
+            np.random.default_rng([int(self.shape_seed), int(n)])
         )
+
+    def _make_batch(self, rng: np.random.Generator, ticket: int | None = None) -> dict:
+        if self._ordered and ticket is not None:
+            shape = self.shape_for_batch(ticket)
+        else:
+            shape = self.shape_sampler.sample(rng) if self.shape_sampler else None
         micro = []
         for _ in range(self.accum):
             samples = []
@@ -257,7 +281,19 @@ class Loader:
         rng = np.random.default_rng(self.seed + 1000 * tid)
         try:
             while not self._stop.is_set():
-                batch = self._make_batch(rng)
+                ticket = None
+                if self._ordered:
+                    while not self._stop.is_set():
+                        if self._window.acquire(timeout=1.0):
+                            break
+                    else:
+                        return
+                    with self._lock:
+                        ticket = self._counter
+                        self._counter += 1
+                batch = self._make_batch(rng, ticket)
+                if self._ordered:
+                    batch = (ticket, batch)
                 # keep offering the SAME batch until consumed — discarding a
                 # fully decoded+augmented batch on queue.Full would burn host
                 # CPU rebuilding batches whenever decode outpaces the step
@@ -283,20 +319,37 @@ class Loader:
         if self.num_threads <= 0:
             # deterministic single-thread mode: reproducible batch stream
             rng = np.random.default_rng(self.seed)
+            n = 0
             while True:
-                yield self._make_batch(rng)
+                yield self._make_batch(rng, n)
+                n += 1
         if not self._threads:
             for t in range(self.num_threads):
                 th = threading.Thread(target=self._worker, args=(t,), daemon=True)
                 th.start()
                 self._threads.append(th)
+        next_ticket, stash = 0, {}
         while True:
+            # ordered mode: release batches strictly by ticket so the
+            # consumed-shape SEQUENCE is identical on every host. The stash
+            # is bounded by num_threads + prefetch (workers block on the
+            # queue and each holds at most one ticket).
+            if self._ordered and next_ticket in stash:
+                batch = stash.pop(next_ticket)
+                next_ticket += 1
+                self._window.release()
+                yield batch
+                continue
             item = self._q.get()
             if isinstance(item, _WorkerDied):
                 raise RuntimeError(
                     "loader worker thread died; training would hang waiting "
                     "for batches"
                 ) from item.error
+            if self._ordered:
+                ticket, batch = item
+                stash[ticket] = batch
+                continue
             yield item
 
     def close(self):

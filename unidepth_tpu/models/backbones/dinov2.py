@@ -47,6 +47,12 @@ class ViTConfig:
     output_idx: tuple[int, ...] = (5, 12, 18, 24)
     use_norm: bool = True
     drop_path_rate: float = 0.0  # linear per-block ramp (dinov2.py:204-205)
+    # DINO's historical pos-embed kludge: V1 builds its encoder with
+    # interpolate_offset=0.1 hardcoded (reference unidepthv1.py:416-424),
+    # which switches torch interpolate to scale_factor=(grid+0.1)/37
+    # semantics; V2/V2old use 0.0 (size-based grid). Found by the
+    # real-reference parity suite (tests/test_reference_parity.py).
+    interpolate_offset: float = 0.0
 
     @property
     def num_patches(self) -> int:
@@ -227,9 +233,20 @@ class DinoViT(nn.Module):
         )
         if (gh, gw) != (cfg.pos_embed_size, cfg.pos_embed_size):
             # reference dinov2.py:293-301: bicubic, antialias=False, resized
-            # to the (rows, cols) patch grid and flattened row-major.
+            # to the (rows, cols) patch grid and flattened row-major. With
+            # interpolate_offset (V1 only), torch switches to explicit
+            # scale_factor=(grid+offset)/pos_size semantics (dinov2.py:283-291).
+            scales = (
+                (
+                    (gh + cfg.interpolate_offset) / cfg.pos_embed_size,
+                    (gw + cfg.interpolate_offset) / cfg.pos_embed_size,
+                )
+                if cfg.interpolate_offset
+                else None
+            )
             patch_pos = resize(
-                patch_pos, (gh, gw), mode="bicubic", align_corners=False
+                patch_pos, (gh, gw), mode="bicubic", align_corners=False,
+                scale_factors=scales,
             )
         patch_pos = patch_pos.reshape(1, gh * gw, c)
         x = x + patch_pos.astype(self.dtype)

@@ -103,11 +103,17 @@ class UniDepthV1:
 
             import dataclasses as _dc
 
+            enc_over = {
+                k: tuple(config["model"]["pixel_encoder"][k])
+                for k in ("depths", "dims")
+                if k in config["model"]["pixel_encoder"]
+            }
             ccfg = _dc.replace(
                 CONVNEXT_PRESETS[enc_name],
                 drop_path_rate=config["model"]["pixel_encoder"].get(
                     "drop_path", config.get("training", {}).get("drop_path", 0.0)
                 ),
+                **enc_over,
             )
             if dtype is None:
                 dtype = (
@@ -139,6 +145,9 @@ class UniDepthV1:
             drop_path_rate=config["model"]["pixel_encoder"].get(
                 "drop_path", config.get("training", {}).get("drop_path", 0.0)
             ),
+            # reference UniDepthV1.build hardcodes interpolate_offset=0.1
+            # into its encoder config (unidepthv1.py:416-424)
+            interpolate_offset=0.1,
         )
         dec = config["model"]["pixel_decoder"]
         return cls(

@@ -49,8 +49,11 @@ def _resize_weights_cached(
     mode: str,
     align_corners: bool,
     antialias: bool,
+    scale_factor: float | None = None,
 ) -> np.ndarray:
-    w = _resize_weights_impl(in_size, out_size, mode, align_corners, antialias)
+    w = _resize_weights_impl(
+        in_size, out_size, mode, align_corners, antialias, scale_factor
+    )
     w.setflags(write=False)
     return w
 
@@ -61,8 +64,15 @@ def _resize_weights_impl(
     mode: str,
     align_corners: bool,
     antialias: bool,
+    scale_factor: float | None = None,
 ) -> np.ndarray:
-    """Dense (out_size, in_size) resampling matrix with torch semantics."""
+    """Dense (out_size, in_size) resampling matrix with torch semantics.
+
+    ``scale_factor``: torch's explicit out/in scale_factor semantics
+    (recompute_scale_factor unset): the source grid uses 1/scale_factor
+    instead of in_size/out_size — e.g. DINOv2's historical pos-embed
+    kludge scale (grid+0.1)/M (reference backbones/dinov2.py:283-291).
+    """
     if mode == "nearest":
         # Legacy torch 'nearest': src = floor(dst * in/out).
         scale = in_size / out_size
@@ -95,7 +105,9 @@ def _resize_weights_impl(
         src = out_idx * scale
         downscale = 1.0
     else:
-        scale = in_size / out_size
+        scale = (
+            1.0 / scale_factor if scale_factor is not None else in_size / out_size
+        )
         src = (out_idx + 0.5) * scale - 0.5
         downscale = scale if (antialias and scale > 1.0) else 1.0
 
@@ -144,10 +156,12 @@ def resize_weights_1d(
     mode: str = "bilinear",
     align_corners: bool = False,
     antialias: bool = False,
+    scale_factor: float | None = None,
 ) -> np.ndarray:
     """Public, cached accessor for the 1-D resampling matrix."""
     return _resize_weights_cached(
-        int(in_size), int(out_size), mode, bool(align_corners), bool(antialias)
+        int(in_size), int(out_size), mode, bool(align_corners), bool(antialias),
+        None if scale_factor is None else float(scale_factor),
     )
 
 
@@ -158,25 +172,33 @@ def resize(
     align_corners: bool = False,
     antialias: bool = False,
     channel_last: bool = True,
+    scale_factors: tuple[float, float] | None = None,
 ) -> jnp.ndarray:
     """Resize with exact ``torch.nn.functional.interpolate`` semantics.
 
     Args:
       x: ``(..., H, W, C)`` if ``channel_last`` else ``(..., H, W)``.
       size: output ``(H, W)``.
+      scale_factors: optional explicit (sh, sw) out/in scale factors
+        (torch ``scale_factor=`` semantics; see resize_weights_1d).
     """
     out_h, out_w = int(size[0]), int(size[1])
     if channel_last:
         in_h, in_w = x.shape[-3], x.shape[-2]
     else:
         in_h, in_w = x.shape[-2], x.shape[-1]
-    if (in_h, in_w) == (out_h, out_w):
+    if (in_h, in_w) == (out_h, out_w) and scale_factors is None:
         # All supported modes reduce to the identity at equal size.
         return x
+    sh, sw = scale_factors if scale_factors is not None else (None, None)
     wdt = jnp.float32
     cdt = x.dtype
-    wh = jnp.asarray(resize_weights_1d(in_h, out_h, mode, align_corners, antialias), wdt)
-    ww = jnp.asarray(resize_weights_1d(in_w, out_w, mode, align_corners, antialias), wdt)
+    wh = jnp.asarray(
+        resize_weights_1d(in_h, out_h, mode, align_corners, antialias, sh), wdt
+    )
+    ww = jnp.asarray(
+        resize_weights_1d(in_w, out_w, mode, align_corners, antialias, sw), wdt
+    )
     xf = x.astype(wdt)
     if channel_last:
         y = jnp.einsum("Oh,...hwc->...Owc", wh, xf, preferred_element_type=wdt)
