@@ -22,6 +22,7 @@ from unidepth_tpu.geometry.rays import generate_rays, spherical_zbuffer_to_eucli
 from unidepth_tpu.models.backbones.dinov2 import VIT_PRESETS, DinoViT, ViTConfig
 from unidepth_tpu.models.unidepthv1.decoder import DecoderV1
 from unidepth_tpu.ops.resize import resize
+from unidepth_tpu.utils.misc import JitCache
 from unidepth_tpu.utils.constants import IMAGENET_DATASET_MEAN, IMAGENET_DATASET_STD
 
 V1_OUTPUT_IDX = {"vits14": (3, 6, 9, 12), "vitb14": (3, 6, 9, 12), "vitl14": (5, 12, 18, 24)}
@@ -88,7 +89,7 @@ class UniDepthV1:
         )
         self.image_shape = tuple(image_shape)
         self.params = params
-        self._jit_cache: dict = {}
+        self._jit_cache = JitCache()  # bounded LRU; utils/misc.py
 
     @classmethod
     def from_config(cls, config: dict, params=None, dtype=None) -> "UniDepthV1":

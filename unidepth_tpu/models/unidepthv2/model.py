@@ -25,6 +25,7 @@ from unidepth_tpu.geometry.cameras import CameraBase, Pinhole
 from unidepth_tpu.models.backbones.dinov2 import VIT_PRESETS, DinoViT, ViTConfig
 from unidepth_tpu.models.unidepthv2.decoder import Decoder
 from unidepth_tpu.ops.resize import resize
+from unidepth_tpu.utils.misc import JitCache
 from unidepth_tpu.utils.constants import IMAGENET_DATASET_MEAN, IMAGENET_DATASET_STD
 
 
@@ -134,7 +135,7 @@ class UniDepthV2:
         self.params = params
         self.resolution_level: int | None = None
         self.interpolation_mode = "bilinear"
-        self._jit_cache: dict = {}
+        self._jit_cache = JitCache()  # bounded LRU; utils/misc.py
         self._infer_params = None  # compute-dtype cast cache for serving
 
     def _serving_params(self):

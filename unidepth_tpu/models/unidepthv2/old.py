@@ -26,6 +26,7 @@ from unidepth_tpu.nn.nystrom import NystromBlock
 from unidepth_tpu.nn.upsample import ConvUpsampleShuffleResidual
 from unidepth_tpu.ops.fourier import generate_fourier_features, position_embedding_sine
 from unidepth_tpu.ops.resize import flat_interpolate, resize
+from unidepth_tpu.utils.misc import JitCache
 from unidepth_tpu.utils.constants import IMAGENET_DATASET_MEAN, IMAGENET_DATASET_STD
 
 Dtype = jnp.dtype
@@ -326,7 +327,7 @@ class UniDepthV2old:
         self.pixels_bounds = tuple(pixels_bounds)  # in TOKENS
         self.resolution_level: int | None = None
         self.params = params
-        self._jit_cache: dict = {}
+        self._jit_cache = JitCache()  # bounded LRU; utils/misc.py
 
     @classmethod
     def from_config(cls, config: dict, params=None, dtype=None) -> "UniDepthV2old":

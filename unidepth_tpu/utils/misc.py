@@ -7,6 +7,7 @@ decorators with percentile statistics.
 
 from __future__ import annotations
 
+import collections
 import functools
 import time
 from collections import defaultdict
@@ -175,3 +176,33 @@ def profile_method(verbose: bool = False):
         return wrapper
 
     return deco
+
+
+class JitCache(collections.OrderedDict):
+    """Bounded LRU mapping for per-shape jitted serving programs.
+
+    Long-lived servers that see many input shapes would otherwise
+    accumulate one compiled executable per shape bucket forever
+    (model._jit_cache grows with every new (H, W, ...) key). Evicting the
+    least-recently-used jit wrapper drops the only reference to it, which
+    lets jax release the underlying device executable. The default bound
+    comfortably covers the 10 resolution_level buckets times the pre/core/
+    post programs of the 'core' granularity; see docs/SERVING.md
+    ("Serving-cache memory model"). The reference has no serving layer —
+    this surface is TPU-native (closest analogue: one torch module held
+    in memory, unidepthv2.py:239-339)."""
+
+    def __init__(self, maxsize: int = 32):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def __getitem__(self, key):
+        val = super().__getitem__(key)
+        self.move_to_end(key)
+        return val
+
+    def __setitem__(self, key, val):
+        super().__setitem__(key, val)
+        self.move_to_end(key)
+        while len(self) > self.maxsize:
+            self.popitem(last=False)
