@@ -3,7 +3,7 @@
 #
 # Last full-tier green: 2026-08-18 (206 passed in 39:43 on a 1-core host)
 
-.PHONY: test test-mid test-full bench
+.PHONY: test test-mid test-full bench verify-release
 
 test:
 	python -m pytest -m smoke -q
@@ -16,3 +16,10 @@ test-full:
 
 bench:
 	python bench.py
+
+# The release drill: full tier + bench + 5-config bench suite + multi-chip
+# dryrun + full-scale convert->demo rehearsal. Artifacts and per-stage logs
+# land in artifacts/release/ (summary.json is the verdict). This is what
+# round 5 runs before calling the project COMPLETE.
+verify-release:
+	python scripts/verify_release.py

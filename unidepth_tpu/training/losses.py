@@ -449,24 +449,36 @@ class EdgeGuidedLocalSSI:
 
     weight: float
     min_samples: int = 6
-    num_patches: int = 64
+    # None -> 10% of the 1/14-grid cells (static per shape), matching the
+    # reference's quantile-0.9 selection rate (local_ssi.py:19,334); an int
+    # pins the count explicitly
+    num_patches: int | None = None
+    # False (default) anchors patches at the selected cell's top-left corner
+    # exactly like the reference (local_ssi.py:38: coords = ind2sub * 14) so
+    # the training objective reproduces (drift study: grad cosine ~= the
+    # reference's own draw agreement). True centers the patch on the cell —
+    # where the bilinear 1/14 downsample actually sampled the edge
+    # (corner+6.5) — a documented opt-in improvement, NOT reference behavior.
+    center_patches: bool = False
     input_fn: str = "log1i"
     output_fn: str = "sqrt"
     use_global: bool = True
     eps: float = 1e-5
     name: str = "EdgeGuidedLocalSSI"
 
-    def __call__(self, input, target, mask, image, validity_mask=None, rng=None, **kw):
+    def edge_coords(self, image, validity_mask, shape):
+        """Static-shape strong-edge patch centers: top-k blurred-Sobel cells
+        on the 1/14 grid (replaces the reference's data-dependent quantile
+        sampling, local_ssi.py:11-40). Exposed so the drift study can feed
+        the exact same coordinates to the reference's patch math."""
         from unidepth_tpu.ops.resize import resize
 
-        input = FNS[self.input_fn](input.astype(jnp.float32))
-        target = FNS[self.input_fn](target.astype(jnp.float32))
-        b, h, w, _ = input.shape
-
+        b = image.shape[0]
+        h, w = shape
         if validity_mask is not None:
-            # erosion: min-pool 3x3 (reference geometric.py:272-284)
-            vm = -jax.lax.reduce_window(
-                -validity_mask.astype(jnp.float32),
+            # erosion: sum-pool 3x3 == all-9 test (reference geometric.py:272-284)
+            vm = jax.lax.reduce_window(
+                validity_mask.astype(jnp.float32),
                 0.0,
                 jax.lax.add,
                 (1, 3, 3, 1),
@@ -478,17 +490,27 @@ class EdgeGuidedLocalSSI:
         gh, gw = max(1, h // 14), max(1, w // 14)
         edges_lr = resize(edges, (gh, gw), mode="bilinear", align_corners=False)
         flat = edges_lr.reshape(b, -1)
-        k = min(self.num_patches, flat.shape[-1])
+        want = (
+            max(10, math.ceil(0.1 * gh * gw))  # ref guarantees >=10 samples
+            if self.num_patches is None
+            else self.num_patches
+        )
+        k = min(want, flat.shape[-1])
         _, idx = jax.lax.top_k(flat, k)
-        # +7: patch centers at the CENTER of the selected 14x14 cell, not
-        # its top-left corner (extract_patches treats coords as window
-        # centers, ops/patches.py) — corner coords shifted every patch
-        # half a cell up-left from the edge that selected it
-        coords = jnp.stack([idx // gw, idx % gw], axis=-1) * 14 + 7  # (B, K, 2) y,x
+        offset = 7 if self.center_patches else 0
+        coords = jnp.stack([idx // gw, idx % gw], axis=-1) * 14 + offset  # (B,K,2) y,x
 
         ksize = int(0.06 * min(h, w))
         ksize = ksize + (ksize % 2 == 0)
         ksize = max(3, ksize)
+        return coords, ksize
+
+    def __call__(self, input, target, mask, image, validity_mask=None, rng=None, **kw):
+        input = FNS[self.input_fn](input.astype(jnp.float32))
+        target = FNS[self.input_fn](target.astype(jnp.float32))
+        b, h, w, _ = input.shape
+        coords, ksize = self.edge_coords(image, validity_mask, (h, w))
+        k = coords.shape[1]
 
         def patches_of(t):
             p = extract_patches(t, coords, (ksize, ksize))
@@ -496,10 +518,14 @@ class EdgeGuidedLocalSSI:
 
         pi, pt = patches_of(input), patches_of(target)
         pm = patches_of(mask.astype(jnp.float32)) > 0.5
-        pin, ptn, _ = ssi_normalize(pi, pt, pm, axis=-1)
+        # the reference's patch term reassigns mask to the STABLE mask
+        # returned by ssi and uses it for both the error mean and the
+        # min-samples count (local_ssi.py:289-293) — unlike LocalSSI's
+        # patch term, which keeps the original fold mask (local_ssi.py:167)
+        pin, ptn, psm = ssi_normalize(pi, pt, pm, axis=-1)
         err = jnp.maximum(jnp.abs(pin - ptn), self.eps)
-        valid = pm.sum(axis=-1) >= self.min_samples
-        err_patch = masked_mean(err, pm, axis=-1, keepdims=False)
+        valid = psm.sum(axis=-1) >= self.min_samples
+        err_patch = masked_mean(err, psm, axis=-1, keepdims=False)
         err_img = FNS[self.output_fn](jnp.maximum(err_patch, self.eps))
         total = [masked_mean(err_img, valid, axis=-1, keepdims=False)]
 
@@ -518,6 +544,8 @@ class EdgeGuidedLocalSSI:
         return cls(
             weight=cfg["weight"],
             min_samples=cfg.get("min_samples", 6),
+            num_patches=cfg.get("num_patches"),
+            center_patches=cfg.get("center_patches", False),
             input_fn=cfg.get("input_fn", "log1i"),
             output_fn=cfg.get("output_fn", "sqrt"),
             use_global=cfg.get("use_global", True),
