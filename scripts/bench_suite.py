@@ -12,6 +12,7 @@ a measured number:
      confidence) at full resolution
   5. Multi-camera surround: 6 views/frame (NuScenes-style), streamed as
      one B=6 batch per frame — reported in frames/sec
+  6. UniDepthV2 ViT-L/14 int8 serving mode (opt-in; headline stays bf16)
 
 Methodology is bench.py's: N iterations of the REAL jitted serving
 program chained inside one jitted fori_loop (each iteration's input
@@ -156,7 +157,14 @@ def main():
         }
         print(json.dumps(results[name]))
 
-    known = {"vits_single", "vitb_batch8", "v1_convnext", "vitl_all_outputs", "multicam"}
+    known = {
+        "vits_single",
+        "vitb_batch8",
+        "v1_convnext",
+        "vitl_all_outputs",
+        "multicam",
+        "vitl_int8",
+    }
     only = set(args.only.split(",")) if args.only else None
     if only is not None and only - known:
         raise SystemExit(
@@ -228,6 +236,24 @@ def main():
             1.0 / dt,
             "6 views per frame in one batch (BASELINE.json configs[4]); "
             f"{rate:.1f} views/sec",
+        )
+        del model
+
+    if want("vitl_int8"):
+        # opt-in int8 serving mode (ops/quant.py): per-channel int8 weights
+        # + per-token dynamic int8 activations on the MXU's double-rate
+        # path. Same bucket as the bench.py headline, different numerics —
+        # reported here, never as the headline (docs/SERVING.md "Int8").
+        model = _load_v2("config_v2_vitl14.json")
+        model.set_serving_precision("int8")
+        dt, rate = bench_v2(model, 8, 518, ("depth",), args.iters, jax, jnp, np)
+        record(
+            "v2_vitl14_518px_int8",
+            "images/sec/chip",
+            dt,
+            rate,
+            "opt-in int8 encoder GEMMs (set_serving_precision); "
+            "headline config runs bf16",
         )
         del model
 

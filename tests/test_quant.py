@@ -1,0 +1,154 @@
+"""Int8 serving quantization (ops/quant.py + model serving_precision).
+
+The int8 mode is TPU-native surface with no reference analogue (the
+reference serves under fp16 autocast, unidepth/models/unidepthv2/
+unidepthv2.py:240); these tests pin the quantization math on CPU and the
+serving-path contract: opt-in, cache-isolated from the default path, and
+within documented error bounds of the full-precision forward.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unidepth_tpu.ops.quant import (
+    QuantDense,
+    dynamic_quant,
+    quantize_dense_tree,
+    quantize_kernel,
+)
+
+
+def test_quantize_kernel_roundtrip():
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    q, scale = quantize_kernel(k)
+    assert q.dtype == jnp.int8 and scale.shape == (32,)
+    back = q.astype(jnp.float32) * scale
+    # symmetric per-channel: error bounded by half a quantization step
+    step = scale[None, :]
+    assert float(jnp.max(jnp.abs(back - k) / step)) <= 0.5 + 1e-6
+    # the max-magnitude entry of every column hits +-127 exactly
+    col_amax = jnp.max(jnp.abs(q), axis=0)
+    assert int(jnp.min(col_amax)) == 127
+
+
+def test_quantize_kernel_keeps_scan_axes():
+    rng = np.random.default_rng(1)
+    k = jnp.asarray(rng.standard_normal((6, 16, 8)), jnp.float32)  # (L, K, N)
+    q, scale = quantize_kernel(k)
+    assert q.shape == (6, 16, 8) and scale.shape == (6, 8)
+    # per-(layer, out-channel) scales: layer 0's scale is independent of layer 5
+    q0, s0 = quantize_kernel(k[0])
+    np.testing.assert_allclose(np.asarray(scale[0]), np.asarray(s0), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(q[0]), np.asarray(q0))
+
+
+def test_dynamic_quant_rows():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((5, 33)) * 10.0, jnp.float32)
+    q, s = dynamic_quant(x)
+    assert q.dtype == jnp.int8 and s.shape == (5, 1)
+    back = q.astype(jnp.float32) * s
+    assert float(jnp.max(jnp.abs(back - x))) <= float(jnp.max(s)) * 0.5 + 1e-6
+    # all-zero row must not divide by zero
+    q0, s0 = dynamic_quant(jnp.zeros((1, 8)))
+    assert int(jnp.max(jnp.abs(q0))) == 0 and np.isfinite(float(s0[0, 0]))
+
+
+def test_quant_dense_matches_fp_dense():
+    """QuantDense with params quantized from a Dense reproduces the fp
+    matmul within the int8 quantization error bound."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((17, 48)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((48, 24)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((24,)) * 0.01, jnp.float32)
+    ref = x @ kernel + bias
+
+    qtree = quantize_dense_tree({"qkv": {"kernel": kernel, "bias": bias}})["qkv"]
+    got = QuantDense(24, dtype=jnp.float32).apply({"params": qtree}, x)
+    # two int8 roundings (weights + per-row activations) over a K=48 sum
+    err = np.abs(np.asarray(got - ref))
+    assert err.mean() < 0.02 and err.max() < 0.1
+
+
+def test_quantize_dense_tree_selective():
+    rng = np.random.default_rng(4)
+    tree = {
+        "qkv": {"kernel": jnp.asarray(rng.standard_normal((8, 8)), jnp.float32),
+                "bias": jnp.zeros((8,))},
+        "norm1": {"scale": jnp.ones((8,)), "bias": jnp.zeros((8,))},
+        "ls1_gamma": jnp.ones((8,)),
+    }
+    out = quantize_dense_tree(tree)
+    assert out["qkv"]["kernel"].dtype == jnp.int8 and "scale" in out["qkv"]
+    assert out["norm1"]["scale"].dtype != jnp.int8  # untouched
+    assert out["ls1_gamma"] is tree["ls1_gamma"]
+
+
+@pytest.fixture(scope="module")
+def tiny_v2():
+    cfg = json.loads(
+        (Path(__file__).resolve().parents[1] / "configs/config_v2_vits14.json")
+        .read_text()
+    )
+    from unidepth_tpu.models.unidepthv2.model import UniDepthV2
+
+    m = UniDepthV2.from_config(cfg, dtype=jnp.float32)
+    m.shape_constraints["pixels_min"] = 4000
+    m.shape_constraints["pixels_max"] = 10000
+    m.init_params(seed=0, image_shape=(56, 70))
+    return m
+
+
+@pytest.mark.mid
+def test_int8_serving_close_to_fp(tiny_v2):
+    """End-to-end int8 serving tracks the fp forward (documented bound:
+    ~1.5% mean relative depth error on random-init weights, docs/SERVING.md)."""
+    rgb = np.random.default_rng(0).uniform(0, 255, (1, 56, 70, 3)).astype(np.float32)
+    out_fp = tiny_v2.infer(rgb)
+    tiny_v2.set_serving_precision("int8")
+    try:
+        out_q = tiny_v2.infer(rgb)
+    finally:
+        tiny_v2.set_serving_precision("default")
+    d_fp = np.asarray(out_fp["depth"])
+    d_q = np.asarray(out_q["depth"])
+    rel = np.abs(d_fp - d_q) / (np.abs(d_fp) + 1e-6)
+    assert rel.mean() < 0.05, rel.mean()
+    assert np.quantile(rel, 0.99) < 0.15
+    k_rel = np.abs(
+        np.asarray(out_fp["intrinsics"]) - np.asarray(out_q["intrinsics"])
+    ) / (np.abs(np.asarray(out_fp["intrinsics"])) + 1e-6)
+    assert k_rel.max() < 0.1
+
+
+@pytest.mark.mid
+def test_set_serving_precision_contract(tiny_v2):
+    with pytest.raises(ValueError):
+        tiny_v2.set_serving_precision("int4")
+    rgb = np.random.default_rng(1).uniform(0, 255, (1, 56, 70, 3)).astype(np.float32)
+    out_before = tiny_v2.infer(rgb)
+    tiny_v2.set_serving_precision("int8")
+    assert len(tiny_v2._jit_cache) == 0  # precision switch clears programs
+    # the quantized serving params carry int8 kernels; the fp masters don't
+    sp = tiny_v2._serving_params()
+    leaves = jax.tree.leaves(sp["encoder"])
+    assert any(leaf.dtype == jnp.int8 for leaf in leaves)
+    assert all(
+        leaf.dtype != jnp.int8 for leaf in jax.tree.leaves(tiny_v2.params)
+    )
+    # training forward (encode_decode) is untouched by serving precision
+    img = jnp.asarray(rgb / 255.0, jnp.float32)
+    out_train = tiny_v2.encode_decode(tiny_v2.params, img)
+    assert out_train["depth"].dtype == jnp.float32
+    tiny_v2.set_serving_precision("default")
+    out_after = tiny_v2.infer(rgb)
+    np.testing.assert_allclose(
+        np.asarray(out_before["depth"]), np.asarray(out_after["depth"]), rtol=1e-6
+    )

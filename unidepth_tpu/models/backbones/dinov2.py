@@ -76,7 +76,16 @@ class ViTBlock(nn.Module):
     ffn_layer: str = "mlp"
     collect: bool = False  # emit the block output as a scan ys
     attn_impl: str = "auto"  # 'auto' | 'flash' | 'xla'
+    quant: bool = False  # int8 serving GEMMs (ops/quant.py); params must
+    # carry the QuantDense layout (kernel int8 + scale) for qkv/proj/fc1/fc2
     dtype: Dtype = jnp.float32
+
+    def _dense(self, features: int, name: str):
+        if self.quant:
+            from unidepth_tpu.ops.quant import QuantDense
+
+            return QuantDense(features, dtype=self.dtype, name=name)
+        return nn.Dense(features, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, x, rate=None):
@@ -86,7 +95,7 @@ class ViTBlock(nn.Module):
         h = self.num_heads
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         y = y.astype(self.dtype)
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(y)
+        qkv = self._dense(3 * c, "qkv")(y)
         use_flash = self.attn_impl == "flash" or (
             self.attn_impl == "auto"
             and n >= 1024
@@ -116,7 +125,7 @@ class ViTBlock(nn.Module):
             k = qkv[:, :, 1].transpose(0, 2, 1, 3)
             v = qkv[:, :, 2].transpose(0, 2, 1, 3)
             attn = sdpa(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, c)
-        attn = nn.Dense(c, dtype=self.dtype, name="proj")(attn)
+        attn = self._dense(c, "proj")(attn)
         if self.init_values:
             gamma1 = self.param(
                 "ls1_gamma", nn.initializers.constant(self.init_values), (c,)
@@ -134,13 +143,13 @@ class ViTBlock(nn.Module):
         y = y.astype(self.dtype)
         hidden = int(c * self.mlp_ratio)
         if self.ffn_layer == "mlp":
-            y = nn.Dense(hidden, dtype=self.dtype, name="fc1")(y)
+            y = self._dense(hidden, "fc1")(y)
             y = nn.gelu(y, approximate=False)
-            y = nn.Dense(c, dtype=self.dtype, name="fc2")(y)
+            y = self._dense(c, "fc2")(y)
         elif self.ffn_layer == "swiglu":
-            w12 = nn.Dense(2 * ((hidden * 2 // 3 + 7) // 8 * 8), dtype=self.dtype, name="w12")(y)
+            w12 = self._dense(2 * ((hidden * 2 // 3 + 7) // 8 * 8), "w12")(y)
             a, g = jnp.split(w12, 2, axis=-1)
-            y = nn.Dense(c, dtype=self.dtype, name="w3")(nn.silu(a) * g)
+            y = self._dense(c, "w3")(nn.silu(a) * g)
         else:
             raise ValueError(self.ffn_layer)
         if self.init_values:
@@ -178,6 +187,7 @@ class DinoViT(nn.Module):
     attn_impl: str = "auto"  # 'auto' | 'flash' | 'xla'
     remat: bool = True  # rematerialize blocks under grad (no fwd-only cost)
     unroll: int = 1  # lax.scan unroll factor (XLA can pipeline across blocks)
+    quant: bool = False  # int8 serving GEMMs in every block (ops/quant.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -305,6 +315,7 @@ class DinoViT(nn.Module):
                 ffn_layer=cfg.ffn_layer,
                 collect=collect_ys,
                 attn_impl=self.attn_impl,
+                quant=self.quant,
                 dtype=self.dtype,
                 name=f"stage_{si}",
             )(x, rates)
