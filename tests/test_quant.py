@@ -129,6 +129,87 @@ def test_int8_serving_close_to_fp(tiny_v2):
 
 
 @pytest.mark.mid
+def test_int8_v1_and_v2old_and_convnext_reject():
+    """The serving-precision mixin covers every ViT-encoder family; the
+    ConvNeXt encoder (no int8 GEMM path) rejects the mode up front."""
+    import json as _json
+
+    from unidepth_tpu.models.unidepthv1.model import UniDepthV1
+    from unidepth_tpu.models.unidepthv2.old import UniDepthV2old
+
+    root = Path(__file__).resolve().parents[1]
+    cfg1 = _json.loads((root / "configs/config_v1_vitl14.json").read_text())
+    cfg1["model"]["pixel_encoder"]["name"] = "dinov2_vits14"
+    cfg1["model"]["pixel_encoder"].pop("output_idx", None)
+    cfg1.setdefault("data", {})["image_shape"] = [56, 70]
+    m1 = UniDepthV1.from_config(cfg1, dtype=jnp.float32)
+    m1.init_params(seed=0)
+    rgb = np.random.default_rng(0).uniform(0, 1, (1, 56, 70, 3)).astype(np.float32)
+    d_fp = np.asarray(m1.infer(rgb)["depth"])
+    m1.set_serving_precision("int8")
+    d_q = np.asarray(m1.infer(rgb)["depth"])
+    rel = np.abs(d_fp - d_q) / (np.abs(d_fp) + 1e-6)
+    # V1's depth head is exp(logit): on RANDOM weights the int8 logit noise
+    # exponentiates (~12% mean rel here vs ~1.5% for V2's structure), so
+    # this bound only pins "wired correctly", not deployment accuracy —
+    # docs/SERVING.md requires real-checkpoint validation before enabling.
+    assert np.isfinite(d_q).all() and rel.mean() < 0.25, rel.mean()
+
+    cfgo = _json.loads((root / "configs/config_v2old_vitl14.json").read_text())
+    cfgo["model"]["pixel_encoder"]["name"] = "dinov2_vits14"
+    cfgo["model"]["pixel_encoder"].pop("output_idx", None)
+    mo = UniDepthV2old.from_config(cfgo, dtype=jnp.float32)
+    mo.pixels_bounds = (12, 30)
+    mo.resolution_level = 0
+    mo.init_params(seed=0) if hasattr(mo, "init_params") else None
+    rgb8 = np.random.default_rng(1).uniform(0, 255, (1, 56, 70, 3)).astype(np.float32)
+    do_fp = np.asarray(mo.infer(rgb8)["depth"])
+    mo.set_serving_precision("int8")
+    do_q = np.asarray(mo.infer(rgb8)["depth"])
+    relo = np.abs(do_fp - do_q) / (np.abs(do_fp) + 1e-6)
+    assert np.isfinite(do_q).all() and relo.mean() < 0.1, relo.mean()
+
+    cfgc = _json.loads((root / "configs/config_v1_cnvnxtl.json").read_text())
+    cfgc["model"]["pixel_encoder"]["depths"] = [1, 1, 1, 1]
+    cfgc["model"]["pixel_encoder"]["dims"] = [16, 32, 64, 128]
+    cfgc["model"]["pixel_decoder"]["hidden_dim"] = 32
+    cfgc.setdefault("data", {})["image_shape"] = [64, 64]
+    mc = UniDepthV1.from_config(cfgc, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="int8 serving requires"):
+        mc.set_serving_precision("int8")
+
+
+def test_serving_params_precision_layout(tiny_v2):
+    """Quantized serving params: int8 kernels keep f32 scale/bias even in
+    scan-stacked (2D) layout; non-dense fp32 leaves get the compute dtype
+    (fp32 here, so identity) — regression for the ndim-based cast bug."""
+    import jax as _jax
+
+    tiny_v2.set_serving_precision("int8")
+    try:
+        sp = tiny_v2._serving_params()
+        enc = sp["encoder"]
+        # walk: every dict with an int8 kernel must carry f32 scale/bias
+        def check(tree):
+            if isinstance(tree, dict):
+                k = tree.get("kernel")
+                if k is not None and k.dtype == jnp.int8:
+                    assert tree["scale"].dtype == jnp.float32
+                    if "bias" in tree:
+                        assert tree["bias"].dtype == jnp.float32
+                    assert tree["scale"].shape == k.shape[:-2] + k.shape[-1:]
+                else:
+                    for v in tree.values():
+                        check(v)
+        check(enc)
+        assert any(
+            leaf.dtype == jnp.int8 for leaf in _jax.tree.leaves(enc)
+        )
+    finally:
+        tiny_v2.set_serving_precision("default")
+
+
+@pytest.mark.mid
 def test_set_serving_precision_contract(tiny_v2):
     with pytest.raises(ValueError):
         tiny_v2.set_serving_precision("int4")

@@ -1,0 +1,102 @@
+"""Shared serving-precision machinery for the model wrappers.
+
+Every model family (V1 / V2 / V2old) serves through jitted programs cached
+on ``self._jit_cache`` and owns an ``{'encoder': ..., 'decoder': ...}``
+param pytree. This mixin centralizes the two serving-params optimizations
+so the families cannot drift:
+
+  * **compute-dtype pre-cast** — fp32 master params are cast to the
+    compute dtype (bf16 on TPU) ONCE and cached, halving per-block weight
+    DMA inside the scanned encoder vs casting at every use;
+  * **opt-in int8** (``set_serving_precision('int8')``) — the encoder's
+    dense GEMM kernels are quantized per-output-channel to int8
+    (ops/quant.py) and the serving programs run them on the MXU's
+    double-rate integer path with per-token dynamic activation quant.
+    Requires a ViT encoder (DinoViT carries the ``quant`` flag); the
+    ConvNeXt families raise. Training / ``encode_decode`` are untouched.
+
+The reference has no analogue (it serves under fp16 autocast,
+reference unidepth/models/unidepthv2/unidepthv2.py:240); this is
+TPU-native serving surface. See docs/SERVING.md "Int8 serving mode".
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ServingPrecisionMixin"]
+
+
+class ServingPrecisionMixin:
+    """Mixin for model wrappers with ``params``/``dtype``/``encoder``/
+    ``_jit_cache`` attributes. Call ``_init_serving()`` at the end of
+    ``__init__``."""
+
+    def _init_serving(self):
+        self.serving_precision = "default"  # 'default' (compute dtype) | 'int8'
+        self._infer_params = None  # (key, cast-tree) serving-params cache
+        self._encoder_q = None  # int8-GEMM encoder module (lazy clone)
+
+    def set_serving_precision(self, mode: str):
+        """Select serving numerics: 'default' keeps the compute dtype (bf16
+        on TPU); 'int8' runs every encoder GEMM as int8 x int8 -> int32 on
+        the MXU's double-rate path (weights quantized once here, per-token
+        dynamic activation scales at run time). Serving-only; clears the
+        program caches (programs are precision-specific)."""
+        if mode not in ("default", "int8"):
+            raise ValueError(f"unknown serving precision {mode!r}")
+        if mode == "int8" and not hasattr(self.encoder, "quant"):
+            raise ValueError(
+                "int8 serving requires a ViT encoder (DinoViT); "
+                f"{type(self.encoder).__name__} has no int8 GEMM path"
+            )
+        if mode != self.serving_precision:
+            self.serving_precision = mode
+            self._jit_cache = type(self._jit_cache)()
+            self._infer_params = None
+
+    def _serving_encoder(self):
+        if self.serving_precision != "int8":
+            return self.encoder
+        if self._encoder_q is None:
+            self._encoder_q = self.encoder.clone(quant=True)
+        return self._encoder_q
+
+    def _serving_params(self):
+        if self.dtype == jnp.float32 and self.serving_precision == "default":
+            return self.params
+        key = (id(self.params), self.serving_precision)
+        if self._infer_params is None or self._infer_params[0] != key:
+            cast = jax.tree.map(
+                lambda x: x.astype(self.dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                self.params,
+            )
+            if self.serving_precision == "int8":
+                from unidepth_tpu.ops.quant import quantize_dense_tree
+
+                cast = dict(cast)
+                # quantize from the fp32 masters, not the bf16 cast; then
+                # compute-dtype-cast every remaining fp32 leaf EXCEPT the
+                # quantized dense subtrees, whose f32 scale/bias QuantDense
+                # consumes directly (a bf16 scale would silently add ~0.4%
+                # per-channel dequant error — and in scan-stacked blocks
+                # scale/bias are 2D, so an ndim rule cannot tell them apart)
+                cast["encoder"] = _cast_around_quant(
+                    quantize_dense_tree(self.params["encoder"]), self.dtype
+                )
+            self._infer_params = (key, cast)
+        return self._infer_params[1]
+
+
+def _cast_around_quant(tree, dtype):
+    if isinstance(tree, dict):
+        k = tree.get("kernel")
+        if k is not None and hasattr(k, "dtype") and k.dtype == jnp.int8:
+            return tree  # quantized dense: int8 kernel + f32 scale/bias as-is
+        return {key: _cast_around_quant(val, dtype) for key, val in tree.items()}
+    if hasattr(tree, "dtype") and tree.dtype == jnp.float32:
+        return tree.astype(dtype)
+    return tree

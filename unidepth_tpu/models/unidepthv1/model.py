@@ -48,7 +48,10 @@ def _v1_paddings(image_shape, network_shape):
     return pl, pr, pt, pb
 
 
-class UniDepthV1:
+from unidepth_tpu.models.serving import ServingPrecisionMixin
+
+
+class UniDepthV1(ServingPrecisionMixin):
     PATCH = 14
 
     def __init__(
@@ -90,6 +93,9 @@ class UniDepthV1:
         self.image_shape = tuple(image_shape)
         self.params = params
         self._jit_cache = JitCache()  # bounded LRU; utils/misc.py
+        # bf16 pre-cast + opt-in int8 serving (models/serving.py); the
+        # ConvNeXt-encoder variant supports the pre-cast but rejects int8
+        self._init_serving()
 
     @classmethod
     def from_config(cls, config: dict, params=None, dtype=None) -> "UniDepthV1":
@@ -251,7 +257,7 @@ class UniDepthV1:
                 )
                 rays_gt, _ = generate_rays(K_net, (nh, nw))
 
-            feats, cls_tokens = self.encoder.apply(
+            feats, cls_tokens = self._serving_encoder().apply(
                 {"params": params["encoder"]}, x.astype(self.dtype)
             )
             K_pred, preds, _ = self.decoder.apply(
@@ -324,4 +330,4 @@ class UniDepthV1:
         scaled, ratio = _v1_shapes((H, W), self.image_shape)
         pads = _v1_paddings(scaled, self.image_shape)
         key = (H, W, scaled, pads, ratio, K is not None, skip_camera, normalize)
-        return self._infer_fn(key)(self.params, rgbs, K)
+        return self._infer_fn(key)(self._serving_params(), rgbs, K)

@@ -73,7 +73,10 @@ DEFAULT_SHAPE_CONSTRAINTS = {
 }
 
 
-class UniDepthV2:
+from unidepth_tpu.models.serving import ServingPrecisionMixin
+
+
+class UniDepthV2(ServingPrecisionMixin):
     """Stateful convenience wrapper around pure jitted functions.
 
     Attributes:
@@ -135,65 +138,10 @@ class UniDepthV2:
         self.params = params
         self.resolution_level: int | None = None
         self.interpolation_mode = "bilinear"
-        self.serving_precision = "default"  # 'default' (compute dtype) | 'int8'
         self._jit_cache = JitCache()  # bounded LRU; utils/misc.py
-        self._infer_params = None  # compute-dtype cast cache for serving
-        self._encoder_q = None  # int8-GEMM encoder module (lazy clone)
-
-    def set_serving_precision(self, mode: str):
-        """Select the serving numerics: 'default' keeps the compute dtype
-        (bf16 on TPU); 'int8' runs every encoder GEMM (qkv/proj/fc1/fc2) as
-        int8 x int8 -> int32 on the MXU's double-rate path, with per-output-
-        channel weight scales quantized once here and per-token dynamic
-        activation scales at run time (ops/quant.py). Serving-only: training
-        and encode_decode stay full precision. Clears the jit/param caches
-        (programs are precision-specific)."""
-        if mode not in ("default", "int8"):
-            raise ValueError(f"unknown serving precision {mode!r}")
-        if mode != self.serving_precision:
-            self.serving_precision = mode
-            self._jit_cache = JitCache()
-            self._infer_params = None
-
-    def _serving_encoder(self):
-        if self.serving_precision != "int8":
-            return self.encoder
-        if self._encoder_q is None:
-            self._encoder_q = self.encoder.clone(quant=True)
-        return self._encoder_q
-
-    def _serving_params(self):
-        """Pre-cast fp32 master params to the compute dtype ONCE: halves the
-        per-block weight DMA traffic inside the scanned ViT and removes the
-        per-use cast kernels (measurable on the 518px bench). Under
-        serving_precision='int8' the encoder's dense kernels are additionally
-        quantized (once) to the QuantDense int8+scale layout."""
-        if self.dtype == jnp.float32 and self.serving_precision == "default":
-            return self.params
-        if self._infer_params is None or self._infer_params[0] != (
-            id(self.params),
-            self.serving_precision,
-        ):
-            cast = jax.tree.map(
-                lambda x: x.astype(self.dtype)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32
-                else x,
-                self.params,
-            )
-            if self.serving_precision == "int8":
-                from unidepth_tpu.ops.quant import quantize_dense_tree
-
-                cast = dict(cast)
-                # quantize from the fp32 masters, not the bf16 cast
-                cast["encoder"] = quantize_dense_tree(self.params["encoder"])
-                cast["encoder"] = jax.tree.map(
-                    lambda x: x.astype(self.dtype)
-                    if hasattr(x, "dtype") and x.dtype == jnp.float32
-                    and x.ndim >= 2 else x,
-                    cast["encoder"],
-                )
-            self._infer_params = ((id(self.params), self.serving_precision), cast)
-        return self._infer_params[1]
+        # serving-precision machinery ('default' bf16 pre-cast | opt-in
+        # 'int8' encoder GEMMs): models/serving.py ServingPrecisionMixin
+        self._init_serving()
 
     # ------------------------------------------------------------------
     # construction

@@ -299,7 +299,10 @@ class DecoderV2Old(nn.Module):
         }
 
 
-class UniDepthV2old:
+from unidepth_tpu.models.serving import ServingPrecisionMixin
+
+
+class UniDepthV2old(ServingPrecisionMixin):
     """Model wrapper with token-budget resolution control
     (reference unidepthv2_old.py:45-117)."""
 
@@ -328,6 +331,7 @@ class UniDepthV2old:
         self.resolution_level: int | None = None
         self.params = params
         self._jit_cache = JitCache()  # bounded LRU; utils/misc.py
+        self._init_serving()  # bf16 pre-cast + opt-in int8 (models/serving.py)
 
     @classmethod
     def from_config(cls, config: dict, params=None, dtype=None) -> "UniDepthV2old":
@@ -436,7 +440,7 @@ class UniDepthV2old:
             if has_K:
                 Kn = K.at[:, :2].multiply(ratio)
                 rays_gt, _ = generate_rays(Kn, (sh, sw))
-            feats, cls_tokens = self.encoder.apply(
+            feats, cls_tokens = self._serving_encoder().apply(
                 {"params": params["encoder"]}, x.astype(self.dtype)
             )
             cam = [cls_tokens[-3], cls_tokens[-2], cls_tokens[-1], cls_tokens[-2]]
@@ -477,4 +481,4 @@ class UniDepthV2old:
                 K = K[None]
         scaled, ratio = self._shapes((H, W))
         key = (H, W, scaled, ratio, K is not None)
-        return self._infer_fn(key)(self.params, rgbs, K)
+        return self._infer_fn(key)(self._serving_params(), rgbs, K)
