@@ -17,7 +17,7 @@ test-full:
 bench:
 	python bench.py
 
-# The release drill: full tier + bench + 5-config bench suite + multi-chip
+# The release drill: full tier + bench + 6-config bench suite + multi-chip
 # dryrun + full-scale convert->demo rehearsal. Artifacts and per-stage logs
 # land in artifacts/release/ (summary.json is the verdict). This is what
 # round 5 runs before calling the project COMPLETE.

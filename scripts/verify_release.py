@@ -9,7 +9,7 @@ subprocess (the stages need different JAX platforms), logging to
                 virtual CPU mesh — the release gate from the Makefile
   bench         flagship serving benchmark (bench.py, one JSON line) on the
                 default platform (the real chip when tunneled)
-  bench_suite   the 5-config serving suite -> docs/BENCH_SUITE.md refresh
+  bench_suite   the 6-config serving suite (incl. opt-in int8) -> docs/BENCH_SUITE.md refresh
   dryrun        multi-chip SPMD dry-run: __graft_entry__.dryrun_multichip(8)
                 on an 8-device virtual CPU mesh, cold-cache semantics left
                 to the environment (the driver's own gate)
