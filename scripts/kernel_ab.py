@@ -232,8 +232,21 @@ def make_bd_kernel(n_real: int, d: int, l_on_mxu: bool):
         p32 = jnp.exp(jnp.minimum(s, 80.0)) * mask_ref[0]
         p = p32.astype(vbd_ref.dtype)
         half = n2 // 2
-        l0 = jnp.sum(p32[:, :half], axis=-1, keepdims=True)  # (blk_q, 1)
-        l1 = jnp.sum(p32[:, half:], axis=-1, keepdims=True)
+        if l_on_mxu:
+            # both half-sums as ONE (blk_q, 2) GEMM: p @ [[1,0]...[0,1]]
+            # (row r column c is 1 iff key r belongs to head-half c)
+            row = jax.lax.broadcasted_iota(jnp.int32, (n2, 2), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (n2, 2), 1)
+            ones2 = ((row < half) == (col == 0)).astype(vbd_ref.dtype)
+            lb = jax.lax.dot_general(
+                p, ones2,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (blk_q, 2)
+            l0, l1 = lb[:, :1], lb[:, 1:]
+        else:
+            l0 = jnp.sum(p32[:, :half], axis=-1, keepdims=True)  # (blk_q, 1)
+            l1 = jnp.sum(p32[:, half:], axis=-1, keepdims=True)
         acc = jax.lax.dot_general(
             p, vbd_ref[0, 0],
             dimension_numbers=(((1,), (0,)), ((), ())),

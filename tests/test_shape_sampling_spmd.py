@@ -68,7 +68,7 @@ def _take_shapes(loader, n):
     out = []
     for _ in range(n):
         out.append(next(it)["image"].shape[1:3])
-    loader._stop.set()
+    loader.close()
     return out
 
 

@@ -219,6 +219,14 @@ class Loader:
         # the others run arbitrarily far ahead (the consumer must stash
         # every out-of-order batch it drains; the window bounds that stash)
         self._window = threading.BoundedSemaphore(num_threads + prefetch)
+        # consumer-side ordered state lives on the instance, not the
+        # generator: workers persist across iterators and never re-issue a
+        # ticket, so a second iter(loader) must CONTINUE the ticket stream
+        # (a generator-local next_ticket=0 would wait forever on a ticket
+        # already consumed, and the abandoned generator's stash would pin
+        # window slots). Ordered mode assumes one consumer at a time.
+        self._next_ticket = 0
+        self._stash: dict[int, dict] = {}
 
     @property
     def _ordered(self) -> bool:
@@ -328,15 +336,15 @@ class Loader:
                 th = threading.Thread(target=self._worker, args=(t,), daemon=True)
                 th.start()
                 self._threads.append(th)
-        next_ticket, stash = 0, {}
         while True:
             # ordered mode: release batches strictly by ticket so the
             # consumed-shape SEQUENCE is identical on every host. The stash
             # is bounded by num_threads + prefetch (workers block on the
-            # queue and each holds at most one ticket).
-            if self._ordered and next_ticket in stash:
-                batch = stash.pop(next_ticket)
-                next_ticket += 1
+            # queue and each holds at most one ticket). Ticket/stash state
+            # is on self so re-iteration continues the stream (see __init__).
+            if self._ordered and self._next_ticket in self._stash:
+                batch = self._stash.pop(self._next_ticket)
+                self._next_ticket += 1
                 self._window.release()
                 yield batch
                 continue
@@ -348,12 +356,20 @@ class Loader:
                 ) from item.error
             if self._ordered:
                 ticket, batch = item
-                stash[ticket] = batch
+                self._stash[ticket] = batch
                 continue
             yield item
 
     def close(self):
+        """Stop and JOIN the worker threads. Workers poll ``_stop`` on
+        1-second timed waits, so the join bounds at ~2 s; skipping the join
+        leaves daemon threads inside C-level waits at interpreter shutdown,
+        which aborts the process (pthread teardown race) instead of exiting
+        cleanly."""
         self._stop.set()
+        for t in self._threads:
+            t.join(timeout=3.0)
+        self._threads.clear()
 
 
 def device_prefetch(iterator, sharding, size: int = 2):

@@ -35,7 +35,11 @@ class ServingPrecisionMixin:
 
     def _init_serving(self):
         self.serving_precision = "default"  # 'default' (compute dtype) | 'int8'
-        self._infer_params = None  # (key, cast-tree) serving-params cache
+        # (params-object, mode, cast-tree): the cache holds the params
+        # object itself and compares with ``is`` — keying on id() would let
+        # CPython reuse a freed dict's address after a checkpoint reload
+        # and silently serve the OLD weights' cast
+        self._infer_params = None
         self._encoder_q = None  # int8-GEMM encoder module (lazy clone)
 
     def set_serving_precision(self, mode: str):
@@ -66,29 +70,42 @@ class ServingPrecisionMixin:
     def _serving_params(self):
         if self.dtype == jnp.float32 and self.serving_precision == "default":
             return self.params
-        key = (id(self.params), self.serving_precision)
-        if self._infer_params is None or self._infer_params[0] != key:
-            cast = jax.tree.map(
-                lambda x: x.astype(self.dtype)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32
-                else x,
-                self.params,
-            )
+        cached = self._infer_params
+        if (
+            cached is None
+            or cached[0] is not self.params
+            or cached[1] != self.serving_precision
+        ):
+            def cast_tree(tree):
+                return jax.tree.map(
+                    lambda x: x.astype(self.dtype)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32
+                    else x,
+                    tree,
+                )
+
             if self.serving_precision == "int8":
                 from unidepth_tpu.ops.quant import quantize_dense_tree
 
-                cast = dict(cast)
-                # quantize from the fp32 masters, not the bf16 cast; then
-                # compute-dtype-cast every remaining fp32 leaf EXCEPT the
-                # quantized dense subtrees, whose f32 scale/bias QuantDense
-                # consumes directly (a bf16 scale would silently add ~0.4%
-                # per-channel dequant error — and in scan-stacked blocks
-                # scale/bias are 2D, so an ndim rule cannot tell them apart)
-                cast["encoder"] = _cast_around_quant(
-                    quantize_dense_tree(self.params["encoder"]), self.dtype
-                )
-            self._infer_params = (key, cast)
-        return self._infer_params[1]
+                # quantize the encoder from the fp32 masters (never a bf16
+                # intermediate); then compute-dtype-cast every remaining
+                # fp32 leaf EXCEPT the quantized dense subtrees, whose f32
+                # scale/bias QuantDense consumes directly (a bf16 scale
+                # would silently add ~0.4% per-channel dequant error — and
+                # in scan-stacked blocks scale/bias are 2D, so an ndim rule
+                # cannot tell them apart). Non-encoder subtrees cast
+                # directly — building a bf16 encoder copy only to discard
+                # it would churn ~0.6 GB of transient device memory on ViT-L
+                cast = {
+                    k: _cast_around_quant(quantize_dense_tree(v), self.dtype)
+                    if k == "encoder"
+                    else cast_tree(v)
+                    for k, v in self.params.items()
+                }
+            else:
+                cast = cast_tree(self.params)
+            self._infer_params = (self.params, self.serving_precision, cast)
+        return self._infer_params[2]
 
 
 def _cast_around_quant(tree, dtype):

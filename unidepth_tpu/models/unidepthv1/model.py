@@ -20,6 +20,7 @@ import numpy as np
 
 from unidepth_tpu.geometry.rays import generate_rays, spherical_zbuffer_to_euclidean
 from unidepth_tpu.models.backbones.dinov2 import VIT_PRESETS, DinoViT, ViTConfig
+from unidepth_tpu.models.serving import ServingPrecisionMixin
 from unidepth_tpu.models.unidepthv1.decoder import DecoderV1
 from unidepth_tpu.ops.resize import resize
 from unidepth_tpu.utils.misc import JitCache
@@ -46,9 +47,6 @@ def _v1_paddings(image_shape, network_shape):
     pt, pb = (h - ch) // 2, h - ch - (h - ch) // 2
     pl, pr = (w - cw) // 2, w - cw - (w - cw) // 2
     return pl, pr, pt, pb
-
-
-from unidepth_tpu.models.serving import ServingPrecisionMixin
 
 
 class UniDepthV1(ServingPrecisionMixin):

@@ -24,6 +24,7 @@ import numpy as np
 from unidepth_tpu.geometry.cameras import CameraBase, Pinhole
 from unidepth_tpu.models.backbones.dinov2 import VIT_PRESETS, DinoViT, ViTConfig
 from unidepth_tpu.models.unidepthv2.decoder import Decoder
+from unidepth_tpu.models.serving import ServingPrecisionMixin
 from unidepth_tpu.ops.resize import resize
 from unidepth_tpu.utils.misc import JitCache
 from unidepth_tpu.utils.constants import IMAGENET_DATASET_MEAN, IMAGENET_DATASET_STD
@@ -71,9 +72,6 @@ DEFAULT_SHAPE_CONSTRAINTS = {
     "pixels_max": 600_000,
     "shape_mult": 14,
 }
-
-
-from unidepth_tpu.models.serving import ServingPrecisionMixin
 
 
 class UniDepthV2(ServingPrecisionMixin):

@@ -21,6 +21,7 @@ from flax import linen as nn
 from unidepth_tpu.geometry.rays import generate_rays, spherical_zbuffer_to_euclidean
 from unidepth_tpu.models.backbones.dinov2 import VIT_PRESETS, DinoViT, ViTConfig
 from unidepth_tpu.models.unidepthv1.decoder import AdapterItem
+from unidepth_tpu.models.serving import ServingPrecisionMixin
 from unidepth_tpu.nn.layers import MLP, AttentionBlock
 from unidepth_tpu.nn.nystrom import NystromBlock
 from unidepth_tpu.nn.upsample import ConvUpsampleShuffleResidual
@@ -297,9 +298,6 @@ class DecoderV2Old(nn.Module):
             "depth_features": depth_features,
             "rays": rays,
         }
-
-
-from unidepth_tpu.models.serving import ServingPrecisionMixin
 
 
 class UniDepthV2old(ServingPrecisionMixin):

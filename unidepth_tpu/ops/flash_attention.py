@@ -14,6 +14,7 @@ first axis; D <= 128 (ViT head dims are 64).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -22,9 +23,38 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "sharded_flash_attention"]
+__all__ = ["flash_attention", "sharded_flash_attention", "safe_attention"]
 
 _NEG_INF = -1e30
+
+# Trace-time default for ``safe_softmax`` at the public entry points.
+# The serving default (False) is the guarded max-free softmax, which relies
+# on trained prescaled ViT logits staying far below the min(s, 80) clamp; a
+# training run has no such bound (a diverging row would silently saturate
+# instead of NaN-ing, and an all-very-negative row underflows to 0 output).
+# The train step wraps its forward in ``safe_attention()`` so every
+# attention call it traces — encoder blocks and decoder cross-attention
+# alike, with no per-module plumbing — takes the row-max kernels, which are
+# exact for any logits. jit executes the Python body at trace time, so the
+# flag is baked into the traced program.
+_SAFE_ATTENTION = [0]
+
+
+@contextlib.contextmanager
+def safe_attention():
+    """While active, attention calls that don't pin ``safe_softmax`` use the
+    safe row-max softmax kernels instead of the serving-default guarded
+    max-free variant. Wrap any forward whose logits are not known-bounded
+    (training, fine-tuning) — see ``training/step.py``."""
+    _SAFE_ATTENTION[0] += 1
+    try:
+        yield
+    finally:
+        _SAFE_ATTENTION[0] -= 1
+
+
+def _resolve_safe(safe_softmax: bool | None) -> bool:
+    return bool(_SAFE_ATTENTION[0]) if safe_softmax is None else safe_softmax
 
 
 def _flash_kernel(
@@ -176,13 +206,26 @@ def _pick_blocks(nq: int, nk: int, blk_q: int | None, blk_k: int | None):
     return blk_q, blk_k
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def flash_attention(q, k, v, blk_q: int | None = None, blk_k: int | None = None, scale: float | None = None):
-    """q, k, v: (BH, N, D) -> (BH, N, D). fp32 softmax, bf16-friendly."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention(
+    q,
+    k,
+    v,
+    blk_q: int | None = None,
+    blk_k: int | None = None,
+    scale: float | None = None,
+    safe_softmax: bool | None = None,
+):
+    """q, k, v: (BH, N, D) -> (BH, N, D). fp32 softmax, bf16-friendly.
+    ``safe_softmax=None`` resolves to the ambient ``safe_attention()``
+    flag (False outside it: serving-default guarded max-free softmax)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     blk_q, blk_k = _pick_blocks(q.shape[1], k.shape[1], blk_q, blk_k)
-    return _flash_fwd(q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale)
+    return _flash_fwd(
+        q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale,
+        safe_softmax=_resolve_safe(safe_softmax),
+    )
 
 
 def _packed_kernel_tr(q_ref, k_ref, v_ref, o_ref, *, n_real: int, d: int):
@@ -357,25 +400,30 @@ def _packed_supported(nk: int, c: int, num_heads: int) -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention_packed(
-    q, k, v, num_heads: int, scale: float | None = None, safe_softmax: bool = False
+    q, k, v, num_heads: int, scale: float | None = None,
+    safe_softmax: bool | None = None,
 ):
     """Flash attention on the head-packed (B, N, H*D) layout (see
     ``_flash_fwd_packed``). The serving-critical forward runs as the Pallas
     kernel; the backward recomputes with XLA ops (same policy as
     ``flash_attention``). Shapes outside the packed kernel's regime route
     through the generic (B*H, N, D) kernel (head split/merge transposes
-    reappear, correctness unchanged)."""
+    reappear, correctness unchanged). ``safe_softmax=None`` resolves to the
+    ambient ``safe_attention()`` flag (False outside it)."""
     b, n, c = q.shape
     d = c // num_heads
     if scale is None:
         scale = d**-0.5
+    safe_softmax = _resolve_safe(safe_softmax)
     if not _packed_supported(k.shape[1], c, num_heads):
         def heads(x):
             return x.reshape(b, x.shape[1], num_heads, d).transpose(0, 2, 1, 3).reshape(
                 b * num_heads, x.shape[1], d
             )
 
-        out = flash_attention(heads(q), heads(k), heads(v), None, None, scale)
+        out = flash_attention(
+            heads(q), heads(k), heads(v), None, None, scale, safe_softmax
+        )
         return out.reshape(b, num_heads, n, d).transpose(0, 2, 1, 3).reshape(b, n, c)
     blk_q = _pick_blk_q_packed(n, -(-k.shape[1] // 128) * 128)
     return _flash_fwd_packed(
@@ -489,14 +537,18 @@ def sharded_flash_attention(q, k, v, scale: float | None = None):
     return fn(q, k, v)
 
 
-def _fwd(q, k, v, blk_q, blk_k, scale):
+def _fwd(q, k, v, blk_q, blk_k, scale, safe_softmax):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     blk_q, blk_k = _pick_blocks(q.shape[1], k.shape[1], blk_q, blk_k)
-    return _flash_fwd(q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale), (q, k, v)
+    out = _flash_fwd(
+        q, k, v, blk_q=blk_q, blk_k=blk_k, scale=scale,
+        safe_softmax=_resolve_safe(safe_softmax),
+    )
+    return out, (q, k, v)
 
 
-def _bwd(blk_q, blk_k, scale, res, g):
+def _bwd(blk_q, blk_k, scale, safe_softmax, res, g):
     q, k, v = res
     if scale is None:
         scale = q.shape[-1] ** -0.5

@@ -18,6 +18,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from unidepth_tpu.ops.flash_attention import safe_attention
 from unidepth_tpu.training.ema import EMAState, ema_init, ema_update
 from unidepth_tpu.training.losses import build_losses
 from unidepth_tpu.utils.misc import normalize_rgb
@@ -107,9 +108,13 @@ def make_train_step(model, optimizer, config: dict, recipe=None):
         # batches arrive as raw 0..255 floats; normalize on device so XLA
         # fuses it into the patch embedding (utils/misc.py:normalize_rgb)
         image = normalize_rgb(batch["image"], norm_mode)
-        outputs = model.encode_decode(
-            params, image, rays_gt=batch.get("rays"), rng=rng_dp
-        )
+        # training logits are unbounded (the serving kernels' max-free
+        # softmax guard assumes trained prescaled-ViT logits < 30): trace
+        # the whole forward under the safe row-max attention kernels
+        with safe_attention():
+            outputs = model.encode_decode(
+                params, image, rays_gt=batch.get("rays"), rng=rng_dp
+            )
         ldict = recipe(losses, outputs, batch, rng_loss)
         return ldict["total"], ldict
 

@@ -109,15 +109,20 @@ def validate(
     # artifact forward)
     fwd = getattr(model, "_val_fwd", None)
     if fwd is None:
+        from unidepth_tpu.ops.flash_attention import safe_attention
         from unidepth_tpu.utils.misc import normalize_rgb
 
         # loader/collate batches are raw 0..255 floats; normalize on
-        # device exactly like the jitted serving preprocess
-        fwd = jax.jit(
-            lambda p, img, rays: model.encode_decode(
-                p, normalize_rgb(img), rays_gt=rays
-            )
-        )
+        # device exactly like the jitted serving preprocess. Validation
+        # runs on MID-TRAINING params, so like the train step it traces
+        # under the safe row-max attention kernels (the serving max-free
+        # guard assumes trained logits < 30; a diverging checkpoint must
+        # show its real metrics, not silently saturated ones).
+        def _fwd(p, img, rays):
+            with safe_attention():
+                return model.encode_decode(p, normalize_rgb(img), rays_gt=rays)
+
+        fwd = jax.jit(_fwd)
         model._val_fwd = fwd
     results = {}
     for name, loader in val_loaders.items():
