@@ -1,7 +1,8 @@
 # Test tiers (see README "Tests"). The full tier is the release gate —
 # run it before shipping; record the date below when it was last green.
 #
-# Last full-tier green: 2026-08-18 (206 passed in 39:43 on a 1-core host)
+# Last full-tier green: 2026-08-19 (234 passed in 44:21 on a 1-core host,
+# release drill artifacts/release/summary.json)
 
 .PHONY: test test-mid test-full bench verify-release
 

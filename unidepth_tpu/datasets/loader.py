@@ -324,6 +324,10 @@ class Loader:
                     continue
 
     def __iter__(self):
+        if self._stop.is_set():
+            # close() is terminal: fresh workers would observe _stop and
+            # exit immediately, parking this iterator on _q.get() forever
+            raise RuntimeError("loader is closed (close() was called)")
         if self.num_threads <= 0:
             # deterministic single-thread mode: reproducible batch stream
             rng = np.random.default_rng(self.seed)
@@ -367,9 +371,12 @@ class Loader:
         which aborts the process (pthread teardown race) instead of exiting
         cleanly."""
         self._stop.set()
+        still_alive = []
         for t in self._threads:
             t.join(timeout=3.0)
-        self._threads.clear()
+            if t.is_alive():  # mid-batch beyond the timeout: keep tracking
+                still_alive.append(t)
+        self._threads[:] = still_alive
 
 
 def device_prefetch(iterator, sharding, size: int = 2):

@@ -57,7 +57,10 @@ class ServingPrecisionMixin:
             )
         if mode != self.serving_precision:
             self.serving_precision = mode
-            self._jit_cache = type(self._jit_cache)()
+            old = self._jit_cache
+            self._jit_cache = (
+                type(old)(old.maxsize) if hasattr(old, "maxsize") else type(old)()
+            )
             self._infer_params = None
 
     def _serving_encoder(self):

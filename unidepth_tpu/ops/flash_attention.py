@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -36,8 +37,9 @@ _NEG_INF = -1e30
 # attention call it traces — encoder blocks and decoder cross-attention
 # alike, with no per-module plumbing — takes the row-max kernels, which are
 # exact for any logits. jit executes the Python body at trace time, so the
-# flag is baked into the traced program.
-_SAFE_ATTENTION = [0]
+# flag is baked into the traced program. Thread-local: a concurrent trace
+# on another thread must not observe this thread's flag.
+_SAFE_ATTENTION = threading.local()
 
 
 @contextlib.contextmanager
@@ -45,16 +47,23 @@ def safe_attention():
     """While active, attention calls that don't pin ``safe_softmax`` use the
     safe row-max softmax kernels instead of the serving-default guarded
     max-free variant. Wrap any forward whose logits are not known-bounded
-    (training, fine-tuning) — see ``training/step.py``."""
-    _SAFE_ATTENTION[0] += 1
+    (training, fine-tuning) — see ``training/step.py``.
+
+    The flag is resolved at TRACE time: enter this context inside the
+    function being jitted (as training/step.py and utils/validation.py do),
+    never around an already-jitted callable — a jit cache hit would replay
+    whichever kernels the first trace baked in."""
+    _SAFE_ATTENTION.depth = getattr(_SAFE_ATTENTION, "depth", 0) + 1
     try:
         yield
     finally:
-        _SAFE_ATTENTION[0] -= 1
+        _SAFE_ATTENTION.depth -= 1
 
 
 def _resolve_safe(safe_softmax: bool | None) -> bool:
-    return bool(_SAFE_ATTENTION[0]) if safe_softmax is None else safe_softmax
+    if safe_softmax is None:
+        return bool(getattr(_SAFE_ATTENTION, "depth", 0))
+    return safe_softmax
 
 
 def _flash_kernel(

@@ -121,6 +121,13 @@ def quantize_dense_tree(params, names: tuple[str, ...] = QUANT_DENSE_NAMES):
                 new = {"kernel": qk, "scale": scale}
                 if "bias" in val:
                     new["bias"] = val["bias"].astype(jnp.float32)
+                else:
+                    # QuantDense unconditionally declares a bias param;
+                    # synthesize zeros for a use_bias=False source Dense
+                    new["bias"] = jnp.zeros(
+                        val["kernel"].shape[:-2] + val["kernel"].shape[-1:],
+                        jnp.float32,
+                    )
                 out[key] = new
             else:
                 out[key] = walk(val)
