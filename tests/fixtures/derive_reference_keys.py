@@ -87,7 +87,15 @@ def _install_stubs():
         def forward(self, x):
             return self.fc2(self.grn(self.act(self.fc1(x))))
 
-    class LayerNorm2d(nn.LayerNorm):
+    class LayerNorm(nn.LayerNorm):
+        # timm/layers/norm.py defaults eps=1e-6 (vs torch's 1e-5) — the
+        # discrepancy is ~2e-3 relative on small-variance activations, so
+        # the stub must carry timm's default for parity tests to gate at
+        # 1e-4
+        def __init__(self, num_channels, eps=1e-6, affine=True):
+            super().__init__(num_channels, eps=eps, elementwise_affine=affine)
+
+    class LayerNorm2d(LayerNorm):
         def forward(self, x):
             return super().forward(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
 
@@ -127,7 +135,7 @@ def _install_stubs():
     layers.Mlp = Mlp
     layers.GlobalResponseNormMlp = GlobalResponseNormMlp
     layers.GlobalResponseNorm = GlobalResponseNorm
-    layers.LayerNorm = nn.LayerNorm
+    layers.LayerNorm = LayerNorm
     layers.LayerNorm2d = LayerNorm2d
     layers.DropPath = DropPath
     layers.AvgPool2dSame = AvgPool2dSame

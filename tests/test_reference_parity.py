@@ -222,6 +222,86 @@ def test_v1_matches_reference(reference):
     )
 
 
+def test_convnext_encoder_matches_reference(reference):
+    """The reference's OWN ConvNeXt class executed at tiny dims (r4 VERDICT
+    Missing #1: this family was previously validated only against the
+    hand-written MirrorConvNeXt, the shared-misreading risk class). Every
+    timm stub on the executed path is math-faithful plain torch (Conv2d /
+    LayerNorm / exact GELU), so the block wiring, stage downsampling,
+    channels-last norm placement, LayerScale and the mean-pooled cls tokens
+    are all reference code (/root/reference/unidepth/models/backbones/
+    convnext.py:208-224,301-471)."""
+    from unidepth_tpu.io.convert import convert_convnext
+    from unidepth_tpu.models.backbones.convnext import ConvNeXt, ConvNeXtConfig
+
+    from unidepth.models.backbones.convnext import ConvNeXt as RefConvNeXt
+
+    depths, dims = (1, 1, 2, 1), (16, 32, 64, 128)
+    torch.manual_seed(3)
+    ref = RefConvNeXt(
+        depths=depths, dims=dims, output_idx=[1, 2, 4, 5]
+    ).eval()
+    rng = np.random.default_rng(5)
+    img = rng.standard_normal((2, 3, 64, 96)).astype(np.float32)
+    with torch.no_grad():
+        feats_t, toks_t = ref(torch.from_numpy(img))
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_convnext(sd, depths=depths)
+    enc = ConvNeXt(
+        cfg=ConvNeXtConfig(depths=depths, dims=dims),
+        stacking="last",
+        dtype=jnp.float32,
+    )
+    feats_j, toks_j = enc.apply(
+        {"params": params}, jnp.asarray(img.transpose(0, 2, 3, 1))
+    )
+    # the reference forward emits EVERY block's map (sum(depths) of them,
+    # convnext.py:459-471) and its encoder wrapper slices output_idx; our
+    # stacking='last' emits the stage-final maps directly -> compare at the
+    # cumulative-depth indices (here 1,2,4,5 -> list positions 0,1,3,4)
+    assert len(feats_t) == sum(depths)
+    stage_final = [sum(depths[: i + 1]) - 1 for i in range(len(depths))]
+    assert len(feats_j) == len(stage_final)
+    for i, (fj, ti) in enumerate(zip(feats_j, stage_final)):
+        np.testing.assert_allclose(
+            np.asarray(fj), feats_t[ti].numpy(), rtol=1e-4, atol=1e-5,
+            err_msg=f"reference ConvNeXt feature {i}",
+        )
+    for i, (tj, ti) in enumerate(zip(toks_j, stage_final)):
+        np.testing.assert_allclose(
+            np.asarray(tj), toks_t[ti].numpy(), rtol=1e-4, atol=1e-5,
+            err_msg=f"reference ConvNeXt cls token {i}",
+        )
+
+
+def test_v1_convnext_matches_reference(reference):
+    """BASELINE.json configs[2] pairing — the reference's UniDepthV1 with
+    the full convnext_large encoder (reference encoder.py:127-137) executed
+    end-to-end through encode_decode (unidepthv1.py:156-233), converted via
+    the production loader, <1e-3 depth parity. Retires MirrorConvNeXt as a
+    load-bearing artifact."""
+    from unidepth_tpu.models.unidepthv1.model import UniDepthV1
+
+    cfg_name = "config_v1_cnvnxtl"
+    ref_cfg = json.loads((REF / "configs" / f"{cfg_name}.json").read_text())
+    torch.manual_seed(0)
+    ref_model = reference["v1"](ref_cfg).eval()
+    img = _image()
+    with torch.no_grad():
+        _, out_t = ref_model.encode_decode(
+            {"image": torch.from_numpy(img), "camera": None}, []
+        )
+
+    config, params = _convert(ref_model, cfg_name, version=1)
+    model = UniDepthV1.from_config(config, dtype=jnp.float32)
+    out_j = model.encode_decode(params, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    _assert_depth_parity(
+        out_j["depth"], out_t["depth"], out_j["intrinsics"], out_t["intrinsics"],
+        cfg_name,
+    )
+
+
 def test_v2old_matches_reference(reference):
     """V2old: the final depth passes through a whole-map layer-norm whose
     1/std amplifies upstream fp32 noise ~10x at random weights (reference
