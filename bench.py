@@ -111,6 +111,13 @@ def main():
         np.random.default_rng(0).standard_normal((B, H, W, 3)), jnp.float32
     )
 
+    # The deployment flow's conversion-time step: audit max |prescaled
+    # attention logit| on this input (scripts/convert.py --verify does the
+    # same for real checkpoints). Serving only traces the max-free softmax
+    # kernel when the audited bound clears the margin — for these weights
+    # the bound is O(1), far under the clamp at 80.
+    model.audit_attention_logits(model._audit_preprocess(rgb[:1]))
+
     # The EXACT serving shape bucket infer() would select for this input
     # (resolution_level unset -> full pixel bounds), depth-only outputs —
     # shared helper, so the bench can't drift from the real serving program.

@@ -123,6 +123,22 @@ def verify(ckpt_dir: Path) -> int:
     gt = np.asarray(Image.open(depth_p)).astype(np.float32) / 1000.0
     K = np.load(K_p)
 
+    # --- attention-logit audit --------------------------------------
+    # The serving-default max-free softmax kernel clamps prescaled logits
+    # at 80 and saturates instead of NaN-ing (ops/flash_attention.
+    # _packed_kernel_tr). Serving only trusts it for checkpoints whose
+    # audited bound clears LOGIT_AUDIT_MARGIN, so conversion measures
+    # max |prescaled logit| over every attention call on the demo input
+    # and stores it in the checkpoint config. A bound at/above the margin
+    # is a conversion FAILURE signal (rc=3): the checkpoint still loads
+    # and serves, but only through the row-max kernels.
+    bound = model.audit_attention_logits(model._audit_preprocess(rgb))
+    config["model"]["attention_logit_bound"] = round(bound, 3)
+    (Path(ckpt_dir) / "config.json").write_text(json.dumps(config, indent=2))
+    margin = type(model).LOGIT_AUDIT_MARGIN
+    kernel = "max-free (fast)" if bound < margin else "row-max (safe)"
+    print(f"attention logit bound: {bound:.2f} (margin {margin:g}) -> {kernel}")
+
     out = model.infer(rgb, camera=K)
     pred = np.asarray(out["depth"])[0, ..., 0]
     mask = gt > 0
@@ -131,7 +147,7 @@ def verify(ckpt_dir: Path) -> int:
     # the 7.45% headline is for the released V2-ViT-L weights on the
     # reference photo asset; on the bundled synthetic scene any properly
     # converted real checkpoint should still land well under 100%
-    return 0
+    return 3 if bound >= margin else 0
 
 
 if __name__ == "__main__":

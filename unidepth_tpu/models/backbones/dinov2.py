@@ -66,6 +66,33 @@ VIT_PRESETS: dict[str, ViTConfig] = {
 }
 
 
+class _DenseParams(nn.Module):
+    """Declares the exact param tree of an ``nn.Dense`` (kernel + bias,
+    default initializers) WITHOUT applying it — the fused block path
+    consumes the raw weights inside Pallas kernels while keeping the
+    checkpoint tree byte-identical to the unfused modules."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """Param tree of an ``nn.LayerNorm`` (scale + bias) without applying."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        return scale, bias
+
+
 class ViTBlock(nn.Module):
     """Pre-LN transformer block with LayerScale (metadinov2/block.py:34-110)."""
 
@@ -78,6 +105,10 @@ class ViTBlock(nn.Module):
     attn_impl: str = "auto"  # 'auto' | 'flash' | 'xla'
     quant: bool = False  # int8 serving GEMMs (ops/quant.py); params must
     # carry the QuantDense layout (kernel int8 + scale) for qkv/proj/fc1/fc2
+    fused: str = "auto"  # 'auto' | 'on' | 'off': fused LN->GEMM Pallas
+    # kernels + QKV-direct ragged attention (ops/fused_block.py); 'auto'
+    # enables them whenever the flash kernel is active, the block is a
+    # plain-MLP non-quant one, dims are lane-tiled and no mesh is ambient
     dtype: Dtype = jnp.float32
 
     def _dense(self, features: int, name: str):
@@ -87,44 +118,116 @@ class ViTBlock(nn.Module):
             return QuantDense(features, dtype=self.dtype, name=name)
         return nn.Dense(features, dtype=self.dtype, name=name)
 
+    def _audit_logits(self, qkv, b, n, c, h, prescaled: bool):
+        """Under ``collect_attention_logits()``: max |prescaled logit| of
+        this block, computed from the fused projection output (the torch
+        (3, H, D) channel layout puts q/k in the first/middle C channels,
+        head-major). Returns None outside an audit — the value is threaded
+        out of the block scan as an extra output (a trace-time ambient sink
+        cannot cross a ``lax.scan`` body boundary)."""
+        from unidepth_tpu.ops.attention import auditing_logits
+
+        if not auditing_logits():
+            return None
+        d = c // h
+        q = qkv[..., :c].reshape(b, n, h, d).astype(jnp.float32)
+        k = qkv[..., c : 2 * c].reshape(b, n, h, d).astype(jnp.float32)
+        m = jnp.max(jnp.abs(jnp.einsum("bnhd,bmhd->bhnm", q, k)))
+        return m if prescaled else m * jnp.float32(d**-0.5)
+
+    def _use_fused(self, n: int, c: int, use_flash: bool) -> bool:
+        from unidepth_tpu.ops.fused_block import ln_dense_supported
+
+        if self.fused == "off" or self.quant or self.ffn_layer != "mlp":
+            return False
+        d = c // self.num_heads
+        shapes_ok = (
+            ln_dense_supported(c, 3 * c)
+            and ln_dense_supported(c, int(c * self.mlp_ratio))
+            and (d == 128 or (d < 128 and 128 % d == 0))
+        )
+        if not shapes_ok:
+            return False
+        if self.fused == "on":
+            return True
+        if not use_flash:
+            return False
+        # GSPMD cannot partition an opaque pallas_call: under a mesh the
+        # packed attention runs through its shard_map wrapper, but the
+        # fused LN->GEMM kernels have none yet — keep the unfused path
+        from unidepth_tpu.parallel.mesh import ambient_mesh
+
+        return ambient_mesh() is None
+
     @nn.compact
     def __call__(self, x, rate=None):
         """``rate``: optional per-block stochastic-depth rate, threaded as a
         scanned input at train time (None = eval / drop_path 0)."""
         b, n, c = x.shape
         h = self.num_heads
-        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        y = y.astype(self.dtype)
-        qkv = self._dense(3 * c, "qkv")(y)
         use_flash = self.attn_impl == "flash" or (
             self.attn_impl == "auto"
             and n >= 1024
             and jax.default_backend() not in ("cpu",)
         )
-        if use_flash:
-            # Head-packed kernel: the torch qkv layout (B,N,3,H,D) means the
-            # first/middle/last C channels of the fused projection ARE q/k/v
-            # in head-major (H,D) order, so the Pallas kernel reads each
-            # head's slab straight from the projection output and writes the
-            # merged (B,N,C) layout the out-projection consumes — no head
-            # split/merge transposes on either side (~4 layout copies per
-            # block removed at 518px). Mesh-aware: under tensor parallelism
-            # it runs in a shard_map (batch over data*fsdp, channels/heads
-            # over tp) so --tp keeps the flash kernel.
-            from unidepth_tpu.ops.flash_attention import (
-                sharded_flash_attention_packed,
-            )
+        use_fused = self._use_fused(n, c, use_flash)
+        if use_fused:
+            # r5 A/B (scripts/fused_ab.py, docs/PERF.md "r5 fused block"):
+            # LN1 + qkv stay an XLA fusion (the Pallas LN->GEMM measured
+            # SLOWER there, 0.78 vs 0.59 ms — XLA pipelines the fp32 LN
+            # into the F=3C GEMM better than one Mosaic kernel does), with
+            # the softmax scale folded into q's weight columns (exact:
+            # power-of-two for ViT head dims) so the attention kernel reads
+            # the raw projection output directly — no q/k/v slice/pad/
+            # unslice HBM copies around the opaque pallas_call.
+            from unidepth_tpu.ops.flash_attention import flash_attention_qkv
+            from unidepth_tpu.ops.fused_block import _xla_ln_dense
 
-            attn = sharded_flash_attention_packed(
-                qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :], h
+            wqkv, bqkv = _DenseParams(3 * c, name="qkv")(c)
+            g1, bt1 = _LNParams(name="norm1")(c)
+            scale = (c // h) ** -0.5
+            colmul = jnp.concatenate(
+                [
+                    jnp.full((c,), scale, jnp.float32),
+                    jnp.ones((2 * c,), jnp.float32),
+                ]
             )
+            qkv = _xla_ln_dense(
+                x, (wqkv * colmul).astype(self.dtype), bqkv * colmul, g1, bt1,
+                1e-6, None,
+            )
+            audit_val = self._audit_logits(qkv, b, n, c, h, prescaled=True)
+            attn = flash_attention_qkv(qkv, h)
         else:
-            # torch layout: reshape(B,N,3,H,D) -> q,k,v
-            qkv = qkv.reshape(b, n, 3, h, c // h)
-            q = qkv[:, :, 0].transpose(0, 2, 1, 3)
-            k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-            v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-            attn = sdpa(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, c)
+            y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+            y = y.astype(self.dtype)
+            qkv = self._dense(3 * c, "qkv")(y)
+            audit_val = self._audit_logits(qkv, b, n, c, h, prescaled=False)
+            if use_flash:
+                # Head-packed kernel: the torch qkv layout (B,N,3,H,D) means
+                # the first/middle/last C channels of the fused projection
+                # ARE q/k/v in head-major (H,D) order, so the Pallas kernel
+                # reads each head's slab straight from the projection output
+                # and writes the merged (B,N,C) layout the out-projection
+                # consumes — no head split/merge transposes on either side
+                # (~4 layout copies per block removed at 518px). Mesh-aware:
+                # under tensor parallelism it runs in a shard_map (batch over
+                # data*fsdp, channels/heads over tp) so --tp keeps the flash
+                # kernel.
+                from unidepth_tpu.ops.flash_attention import (
+                    sharded_flash_attention_packed,
+                )
+
+                attn = sharded_flash_attention_packed(
+                    qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :], h
+                )
+            else:
+                # torch layout: reshape(B,N,3,H,D) -> q,k,v
+                qkv = qkv.reshape(b, n, 3, h, c // h)
+                q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+                k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+                v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+                attn = sdpa(q, k, v).transpose(0, 2, 1, 3).reshape(b, n, c)
         attn = self._dense(c, "proj")(attn)
         if self.init_values:
             gamma1 = self.param(
@@ -139,19 +242,32 @@ class ViTBlock(nn.Module):
             )
         x = x + attn
 
-        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
-        y = y.astype(self.dtype)
         hidden = int(c * self.mlp_ratio)
-        if self.ffn_layer == "mlp":
-            y = self._dense(hidden, "fc1")(y)
-            y = nn.gelu(y, approximate=False)
+        if use_fused:
+            # LN2 + fc1 + exact GELU in ONE Pallas kernel — the big r5 A/B
+            # win (2.04 -> 1.06 ms at the ViT-L serving shape: XLA spends
+            # ~1 ms on erf-GELU traffic + the LN round trip that the fused
+            # epilogue/prologue absorb). fc2 stays XLA: its epilogue fuses
+            # bias/LayerScale/residual already.
+            from unidepth_tpu.ops.fused_block import ln_dense
+
+            w1, b1 = _DenseParams(hidden, name="fc1")(c)
+            g2, bt2 = _LNParams(name="norm2")(c)
+            y = ln_dense(x, w1.astype(self.dtype), b1, g2, bt2, 1e-6, "gelu")
             y = self._dense(c, "fc2")(y)
-        elif self.ffn_layer == "swiglu":
-            w12 = self._dense(2 * ((hidden * 2 // 3 + 7) // 8 * 8), "w12")(y)
-            a, g = jnp.split(w12, 2, axis=-1)
-            y = self._dense(c, "w3")(nn.silu(a) * g)
         else:
-            raise ValueError(self.ffn_layer)
+            y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+            y = y.astype(self.dtype)
+            if self.ffn_layer == "mlp":
+                y = self._dense(hidden, "fc1")(y)
+                y = nn.gelu(y, approximate=False)
+                y = self._dense(c, "fc2")(y)
+            elif self.ffn_layer == "swiglu":
+                w12 = self._dense(2 * ((hidden * 2 // 3 + 7) // 8 * 8), "w12")(y)
+                a, g = jnp.split(w12, 2, axis=-1)
+                y = self._dense(c, "w3")(nn.silu(a) * g)
+            else:
+                raise ValueError(self.ffn_layer)
         if self.init_values:
             gamma2 = self.param(
                 "ls2_gamma", nn.initializers.constant(self.init_values), (c,)
@@ -162,7 +278,11 @@ class ViTBlock(nn.Module):
 
             y = drop_path(y, rate, self.make_rng("droppath"), deterministic=False)
         out = x + y
-        return out, (out if self.collect else None)
+        ys = out if self.collect else None
+        # audit mode threads the per-block logit max through the scan as a
+        # second collected output (static structure: auditing is resolved
+        # at trace time, consistently here and at the DinoViT unpack)
+        return out, (ys if audit_val is None else (ys, audit_val))
 
 
 class DinoViT(nn.Module):
@@ -188,6 +308,7 @@ class DinoViT(nn.Module):
     remat: bool = True  # rematerialize blocks under grad (no fwd-only cost)
     unroll: int = 1  # lax.scan unroll factor (XLA can pipeline across blocks)
     quant: bool = False  # int8 serving GEMMs in every block (ops/quant.py)
+    fused: str = "auto"  # fused LN->GEMM + QKV-direct attention (ViTBlock.fused)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -316,9 +437,17 @@ class DinoViT(nn.Module):
                 collect=collect_ys,
                 attn_impl=self.attn_impl,
                 quant=self.quant,
+                fused=self.fused,
                 dtype=self.dtype,
                 name=f"stage_{si}",
             )(x, rates)
+            from unidepth_tpu.ops.attention import auditing_logits, record_logit_max
+
+            if auditing_logits():
+                # outside the scan the per-block maxima are a stacked (L,)
+                # tracer of THIS trace — legal to hand to the ambient sink
+                ys, seg_logit_max = ys
+                record_logit_max(jnp.max(seg_logit_max))
             # clean resharding seam at every scan-stage boundary
             x = constrain(x, ("data", "fsdp"))
             if self.stacking == "max_cls":

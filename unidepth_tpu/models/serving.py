@@ -33,6 +33,12 @@ class ServingPrecisionMixin:
     ``_jit_cache`` attributes. Call ``_init_serving()`` at the end of
     ``__init__``."""
 
+    #: serving trusts the guarded max-free softmax kernel only below this
+    #: prescaled-logit bound (the kernel clamps at 80 and saturates instead
+    #: of NaN-ing — ops/flash_attention._packed_kernel_tr); 60 leaves a
+    #: margin for inputs harder than the audit image
+    LOGIT_AUDIT_MARGIN = 60.0
+
     def _init_serving(self):
         self.serving_precision = "default"  # 'default' (compute dtype) | 'int8'
         # (params-object, mode, cast-tree): the cache holds the params
@@ -41,6 +47,48 @@ class ServingPrecisionMixin:
         # and silently serve the OLD weights' cast
         self._infer_params = None
         self._encoder_q = None  # int8-GEMM encoder module (lazy clone)
+        # max |prescaled attention logit| audited at conversion (config
+        # metadata key 'attention_logit_bound', scripts/convert.py) or via
+        # audit_attention_logits(); None = never audited -> serving keeps
+        # the loud row-max softmax kernels
+        self.attention_logit_bound = getattr(self, "attention_logit_bound", None)
+
+    def serving_safe_softmax(self) -> bool:
+        """True when serving programs must trace under the row-max softmax
+        kernels: the checkpoint's attention-logit bound is unaudited or too
+        close to the max-free kernel's clamp at 80."""
+        b = self.attention_logit_bound
+        return b is None or not (float(b) < self.LOGIT_AUDIT_MARGIN)
+
+    def _serving_trace_ctx(self):
+        """Context for TRACING serving programs (enter inside the function
+        under jit): ``safe_attention()`` unless the checkpoint's audited
+        logit bound clears the margin."""
+        import contextlib
+
+        from unidepth_tpu.ops.flash_attention import safe_attention
+
+        return safe_attention() if self.serving_safe_softmax() else contextlib.nullcontext()
+
+    def audit_attention_logits(self, image) -> float:
+        """Measure max |prescaled attention logit| over every flash-eligible
+        attention call in one eager forward on ``image`` (B, H, W, 3 raw in
+        [0, 255] is NOT expected here — pass a normalized, shape-valid
+        batch, e.g. the converter's demo input). Stores and returns the
+        bound; serving re-keys its program cache so the kernel choice can
+        change."""
+        from unidepth_tpu.ops.attention import collect_attention_logits
+        from unidepth_tpu.ops.flash_attention import safe_attention
+
+        with collect_attention_logits() as sink, safe_attention():
+            self.encode_decode(self.params, jnp.asarray(image))
+            bound = float(jnp.max(jnp.stack(sink))) if sink else 0.0
+        self.attention_logit_bound = bound
+        old = self._jit_cache
+        self._jit_cache = (
+            type(old)(old.maxsize) if hasattr(old, "maxsize") else type(old)()
+        )
+        return bound
 
     def set_serving_precision(self, mode: str):
         """Select serving numerics: 'default' keeps the compute dtype (bf16

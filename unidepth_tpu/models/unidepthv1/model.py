@@ -137,6 +137,7 @@ class UniDepthV1(ServingPrecisionMixin):
                 params=params,
                 encoder_module=ConvNeXt(cfg=ccfg, stacking="max_cls", dtype=dtype),
             )
+            model.attention_logit_bound = config["model"].get("attention_logit_bound")
             return model
         vit = VIT_PRESETS[preset]
         enc_cfg = ViTConfig(
@@ -155,7 +156,7 @@ class UniDepthV1(ServingPrecisionMixin):
             interpolate_offset=0.1,
         )
         dec = config["model"]["pixel_decoder"]
-        return cls(
+        model = cls(
             encoder_cfg=enc_cfg,
             hidden_dim=dec["hidden_dim"],
             decoder_depths=tuple(dec.get("depths", (3, 2, 1))),
@@ -165,6 +166,10 @@ class UniDepthV1(ServingPrecisionMixin):
             dtype=dtype,
             params=params,
         )
+        # conversion-audited max |prescaled attention logit| (scripts/
+        # convert.py --verify); absent -> serving keeps row-max softmax
+        model.attention_logit_bound = config["model"].get("attention_logit_bound")
+        return model
 
     @classmethod
     def from_pretrained(cls, name_or_path: str, dtype=None) -> "UniDepthV1":
@@ -236,6 +241,10 @@ class UniDepthV1(ServingPrecisionMixin):
         nh, nw = self.image_shape
 
         def run(params, rgb, K):
+            with self._serving_trace_ctx():
+                return body(params, rgb, K)
+
+        def body(params, rgb, K):
             # rgb arrives in [0,1] (host pre-scales uint8) or pre-normalized
             x = rgb
             if normalize:
@@ -329,3 +338,18 @@ class UniDepthV1(ServingPrecisionMixin):
         pads = _v1_paddings(scaled, self.image_shape)
         key = (H, W, scaled, pads, ratio, K is not None, skip_camera, normalize)
         return self._infer_fn(key)(self._serving_params(), rgbs, K)
+
+    def _audit_preprocess(self, rgb):
+        """Normalized network-shape batch for ``audit_attention_logits``
+        (same resize/pad as the serving program; raw 0..255 input)."""
+        rgb = jnp.asarray(rgb, jnp.float32)
+        if rgb.ndim == 3:
+            rgb = rgb[None]
+        _, H, W, _ = rgb.shape
+        scaled, _ = _v1_shapes((H, W), self.image_shape)
+        pad_l, pad_r, pad_t, pad_b = _v1_paddings(scaled, self.image_shape)
+        mean = jnp.asarray(IMAGENET_DATASET_MEAN)
+        std = jnp.asarray(IMAGENET_DATASET_STD)
+        x = (rgb / 255.0 - mean) / std
+        x = resize(x, scaled, mode="bilinear", align_corners=False, antialias=True)
+        return jnp.pad(x, ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)))

@@ -179,7 +179,7 @@ class UniDepthV2(ServingPrecisionMixin):
                 "shape_mult": sc.get("shape_mult", 14),
             }
         dec = config["model"]["pixel_decoder"]
-        return cls(
+        model = cls(
             encoder_cfg=enc_cfg,
             hidden_dim=dec["hidden_dim"],
             out_dim=dec["out_dim"],
@@ -192,6 +192,10 @@ class UniDepthV2(ServingPrecisionMixin):
             params=params,
             stacking=stacking,
         )
+        # conversion-audited max |prescaled attention logit| (scripts/
+        # convert.py --verify); absent -> serving keeps row-max softmax
+        model.attention_logit_bound = config["model"].get("attention_logit_bound")
+        return model
 
     @classmethod
     def from_pretrained(cls, name_or_path: str, dtype=None) -> "UniDepthV2":
@@ -249,6 +253,10 @@ class UniDepthV2(ServingPrecisionMixin):
 
         def run(params, rgb, camera):
             # rgb: (B, H, W, 3) float32 raw (0..255 or normalized)
+            with self._serving_trace_ctx():
+                return body(params, rgb, camera)
+
+        def body(params, rgb, camera):
             x = rgb
             if normalize:
                 mean = jnp.asarray(IMAGENET_DATASET_MEAN) * 255.0
@@ -347,6 +355,10 @@ class UniDepthV2(ServingPrecisionMixin):
         new_h, new_w = new_hw
 
         def core(params, x, rays_gt):
+            with self._serving_trace_ctx():
+                return core_body(params, x, rays_gt)
+
+        def core_body(params, x, rays_gt):
             feats, cls_tokens = self._serving_encoder().apply(
                 {"params": params["encoder"]}, x.astype(self.dtype)
             )
@@ -522,6 +534,24 @@ class UniDepthV2(ServingPrecisionMixin):
             normalize,
             out_key,
         )
+
+    def _audit_preprocess(self, rgb):
+        """Normalize/pad/resize a raw (H,W,3) or (B,H,W,3) 0..255 image to
+        the exact network-resolution batch the serving program would see —
+        the input ``audit_attention_logits`` expects (scripts/convert.py
+        runs this pair at conversion to validate the max-free-softmax logit
+        bound)."""
+        rgb = jnp.asarray(rgb, jnp.float32)
+        if rgb.ndim == 3:
+            rgb = rgb[None]
+        key = self.serving_shape_key(rgb.shape[1:3])
+        _, _, pads, _, new_hw, _, _, _, _ = key
+        pad_l, pad_r, pad_t, pad_b = pads
+        mean = jnp.asarray(IMAGENET_DATASET_MEAN) * 255.0
+        std = jnp.asarray(IMAGENET_DATASET_STD) * 255.0
+        x = (rgb - mean) / std
+        x = jnp.pad(x, ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)))
+        return resize(x, new_hw, mode="bilinear", align_corners=False)
 
     # ------------------------------------------------------------------
     def encode_decode(self, params, image, rays_gt=None, rng=None):

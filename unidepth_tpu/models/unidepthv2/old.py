@@ -348,7 +348,7 @@ class UniDepthV2old(ServingPrecisionMixin):
             use_norm=config["model"]["pixel_encoder"].get("use_norm", False),
         )
         dec = config["model"]["pixel_decoder"]
-        return cls(
+        model = cls(
             encoder_cfg=enc_cfg,
             hidden_dim=dec["hidden_dim"],
             decoder_depths=tuple(dec.get("depths", (6, 0, 0))),
@@ -357,6 +357,10 @@ class UniDepthV2old(ServingPrecisionMixin):
             dtype=dtype,
             params=params,
         )
+        # conversion-audited max |prescaled attention logit| (scripts/
+        # convert.py --verify); absent -> serving keeps row-max softmax
+        model.attention_logit_bound = config["model"].get("attention_logit_bound")
+        return model
 
     @classmethod
     def from_pretrained(cls, name_or_path: str, dtype=None) -> "UniDepthV2old":
@@ -430,6 +434,10 @@ class UniDepthV2old(ServingPrecisionMixin):
         sh, sw = scaled
 
         def run(params, rgb, K):
+            with self._serving_trace_ctx():
+                return body(params, rgb, K)
+
+        def body(params, rgb, K):
             mean = jnp.asarray(IMAGENET_DATASET_MEAN) * 255.0
             std = jnp.asarray(IMAGENET_DATASET_STD) * 255.0
             x = (rgb - mean) / std
@@ -480,3 +488,16 @@ class UniDepthV2old(ServingPrecisionMixin):
         scaled, ratio = self._shapes((H, W))
         key = (H, W, scaled, ratio, K is not None)
         return self._infer_fn(key)(self._serving_params(), rgbs, K)
+
+    def _audit_preprocess(self, rgb):
+        """Normalized network-shape batch for ``audit_attention_logits``
+        (same normalize/resize as the serving program; raw 0..255 input)."""
+        rgb = jnp.asarray(rgb, jnp.float32)
+        if rgb.ndim == 3:
+            rgb = rgb[None]
+        _, H, W, _ = rgb.shape
+        scaled, _ = self._shapes((H, W))
+        mean = jnp.asarray(IMAGENET_DATASET_MEAN) * 255.0
+        std = jnp.asarray(IMAGENET_DATASET_STD) * 255.0
+        x = (rgb - mean) / std
+        return resize(x, scaled, mode="bilinear", align_corners=False, antialias=True)

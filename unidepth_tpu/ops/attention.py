@@ -14,10 +14,53 @@ unidepth/layers/attention.py:136-138 and backbones/metadinov2/attention.py.
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sdpa", "attention"]
+__all__ = ["sdpa", "attention", "collect_attention_logits", "auditing_logits"]
+
+# ---------------------------------------------------------------------------
+# Attention-logit audit (r5): the serving-default max-free softmax kernel
+# (ops/flash_attention._packed_kernel_tr) clamps prescaled logits at 80 and
+# SATURATES instead of NaN-ing. That is only sound for checkpoints whose
+# logits are known-bounded, so conversion audits the bound: under
+# ``collect_attention_logits()`` every flash-eligible attention call records
+# max |prescaled logit| into the ambient sink (a trace-time mechanism like
+# ``safe_attention`` — scanned encoder blocks thread their maxima out of the
+# ``lax.scan`` first, see models/backbones/dinov2.py). The audited bound is
+# stored in converted-checkpoint metadata and serving only trusts the fast
+# kernel when it sits under the margin (models/serving.py).
+# ---------------------------------------------------------------------------
+_AUDIT = threading.local()
+
+
+@contextlib.contextmanager
+def collect_attention_logits():
+    """Trace-time collector: while active, attention entry points append
+    ``max |prescaled logit|`` scalars to the yielded list. Enter it inside
+    the function being traced (or run eagerly) and consume the sink before
+    exiting — the entries are tracers of the enclosing trace."""
+    prev = getattr(_AUDIT, "sink", None)
+    _AUDIT.sink = []
+    try:
+        yield _AUDIT.sink
+    finally:
+        _AUDIT.sink = prev
+
+
+def auditing_logits() -> bool:
+    return getattr(_AUDIT, "sink", None) is not None
+
+
+def record_logit_max(value: jnp.ndarray) -> None:
+    """Append one max-|logit| scalar to the ambient audit sink (no-op when
+    no audit is active)."""
+    sink = getattr(_AUDIT, "sink", None)
+    if sink is not None:
+        sink.append(jnp.asarray(value, jnp.float32))
 
 
 def sdpa(
@@ -76,6 +119,20 @@ def attention(
             and jax.default_backend() not in ("cpu",)
         )
     )
+    if bias is None and auditing_logits():
+        # every bias-free call is flash-ELIGIBLE on some deployment target
+        # (the audit may run on CPU where use_flash is False), so the audit
+        # records them all — conservative over-coverage, never under
+        record_logit_max(
+            jnp.max(
+                jnp.abs(
+                    jnp.einsum(
+                        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+                    )
+                )
+            )
+            * jnp.float32(d**-0.5)
+        )
     if not use_flash:
         return sdpa(q, k, v, bias=bias)
     from unidepth_tpu.ops.flash_attention import sharded_flash_attention

@@ -24,7 +24,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "sharded_flash_attention", "safe_attention"]
+__all__ = [
+    "flash_attention",
+    "flash_attention_qkv",
+    "sharded_flash_attention",
+    "safe_attention",
+]
 
 _NEG_INF = -1e30
 
@@ -237,7 +242,9 @@ def flash_attention(
     )
 
 
-def _packed_kernel_tr(q_ref, k_ref, v_ref, o_ref, *, n_real: int, d: int):
+def _packed_kernel_tr(
+    q_ref, k_ref, v_ref, o_ref, *, n_real: int, d: int, mask_v: bool = False
+):
     """r4 serving kernel: transposed orientation + guarded max-free softmax.
 
     Two r4 A/B findings (scripts/kernel_ab.py, docs/PERF.md "r4 kernel
@@ -277,7 +284,13 @@ def _packed_kernel_tr(q_ref, k_ref, v_ref, o_ref, *, n_real: int, d: int):
         pT32 = jnp.exp(sT)
         l = jnp.sum(pT32, axis=0, keepdims=True)  # (1, blk_q)
         pT = pT32.astype(v_ref.dtype)
-        vT = v_ref[0, :, off : off + d].T  # (d, n_pad)
+        v = v_ref[0, :, off : off + d]
+        if mask_v:
+            # ragged-N inputs: rows past n_real hold Mosaic edge garbage;
+            # p's tail is exactly 0 but 0 * NaN = NaN in the PV contraction
+            vmaskr = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+            v = jnp.where(vmaskr < n_real, v, jnp.zeros_like(v))
+        vT = v.T  # (d, n_pad)
         accT = jax.lax.dot_general(
             vT,
             pT,
@@ -288,7 +301,9 @@ def _packed_kernel_tr(q_ref, k_ref, v_ref, o_ref, *, n_real: int, d: int):
         o_ref[0, :, off : off + d] = outT.T.astype(o_ref.dtype)
 
 
-def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real: int, d: int):
+def _packed_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, n_real: int, d: int, mask_v: bool = False
+):
     """Single-pass attention over a 128-lane block holding ``128 // d``
     head slabs side by side (Mosaic requires lane-dim blocks of 128): each
     head's (blk_q, d) slice is processed independently with static lane
@@ -312,10 +327,15 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real: int, d: int):
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, :, off : off + d]
+        if mask_v:
+            # see _packed_kernel_tr: zero ragged-edge garbage before PV
+            vmaskr = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+            v = jnp.where(vmaskr < n_real, v, jnp.zeros_like(v))
         # plain PV, no transposes (see _flash_kernel)
         acc = jax.lax.dot_general(
-            p.astype(v_ref.dtype),
-            v_ref[0, :, off : off + d],
+            p.astype(v.dtype),
+            v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -439,6 +459,93 @@ def flash_attention_packed(
         q, k, v, blk_q=blk_q, scale=scale, num_heads=num_heads,
         safe_softmax=safe_softmax,
     )
+
+
+def _xla_attention_qkv(qkv, num_heads):
+    c = qkv.shape[-1] // 3
+    return _xla_attention_packed(
+        qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :], 1.0, num_heads
+    )
+
+
+def _flash_fwd_qkv(qkv, *, num_heads: int, safe_softmax: bool):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    g = c // 128
+    n_pad_k = -(-n // 128) * 128
+    blk_q = _pick_blk_q_packed(n, n_pad_k)
+    grid = (b, g, -(-n // blk_q))
+    kernel = _packed_kernel if safe_softmax else _packed_kernel_tr
+    out = pl.pallas_call(
+        functools.partial(kernel, n_real=n, d=d, mask_v=n != n_pad_k),
+        grid=grid,
+        interpret=jax.default_backend() == "cpu",
+        in_specs=[
+            # three channel-offset views of the SAME (B, N, 3C) buffer:
+            # q lanes at group gi, k at gi + G, v at gi + 2G. No slicing,
+            # padding, or relayout copies exist anywhere around the kernel —
+            # blocks ragged in N are handled by Mosaic's edge padding plus
+            # the kernel's own n_real column mask / dropped tail writes.
+            pl.BlockSpec(
+                (1, blk_q, 128), lambda b, gi, i: (b, i, gi), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n_pad_k, 128),
+                lambda b, gi, i, G=g: (b, 0, gi + G),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_pad_k, 128),
+                lambda b, gi, i, G=g: (b, 0, gi + 2 * G),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, blk_q, 128), lambda b, gi, i: (b, i, gi), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+    )(qkv, qkv, qkv)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def flash_attention_qkv(qkv, num_heads: int, safe_softmax: bool | None = None):
+    """Head-packed flash attention reading the raw (B, N, 3C) fused QKV
+    projection output DIRECTLY — no q/k/v slice, pad, or output-slice
+    copies around the opaque ``pallas_call`` (each was a full HBM round
+    trip XLA could not fuse away; ~0.2 ms/block at the ViT-L serving
+    shape). The kernel's three input specs are channel-offset views of the
+    same buffer, and the N axis runs ragged (Mosaic edge handling + the
+    kernel's n_real mask) instead of being padded to the block multiple.
+
+    CONTRACT: q arrives PRE-SCALED — fold the softmax scale into the
+    projection's q columns (exact in bf16 for the power-of-two ViT scales;
+    see ViTBlock's fused path). ``safe_softmax=None`` resolves to the
+    ambient ``safe_attention()`` flag.
+    """
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    safe_softmax = _resolve_safe(safe_softmax)
+    if not _packed_supported(n, c, num_heads):
+        return flash_attention_packed(
+            qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :],
+            num_heads, 1.0, safe_softmax,
+        )
+    return _flash_fwd_qkv(qkv, num_heads=num_heads, safe_softmax=safe_softmax)
+
+
+def _fwd_qkv(qkv, num_heads, safe_softmax):
+    return flash_attention_qkv(qkv, num_heads, safe_softmax), (qkv,)
+
+
+def _bwd_qkv(num_heads, safe_softmax, res, g):
+    (qkv,) = res
+    _, vjp = jax.vjp(lambda t: _xla_attention_qkv(t, num_heads), qkv)
+    return vjp(g)
+
+
+flash_attention_qkv.defvjp(_fwd_qkv, _bwd_qkv)
 
 
 def _fwd_packed(q, k, v, num_heads, scale, safe_softmax):
