@@ -91,6 +91,33 @@ def test_quantize_dense_tree_selective():
     assert out["ls1_gamma"] is tree["ls1_gamma"]
 
 
+def test_quantize_dense_tree_stage_filter():
+    """With a ``stages`` filter only denses under selected stage_* subtrees
+    quantize; unselected stages AND everything outside a stage (patch
+    embed, final norm) stay float (per-stage selective int8,
+    ServingPrecisionMixin.calibrate_int8_stages)."""
+    rng = np.random.default_rng(5)
+
+    def dense():
+        return {"kernel": jnp.asarray(rng.standard_normal((8, 8)), jnp.float32),
+                "bias": jnp.zeros((8,))}
+
+    tree = {
+        "patch_embed": {"proj": dense()},
+        "stage_0": {"qkv": dense(), "fc1": dense()},
+        "stage_1": {"qkv": dense()},
+    }
+    out = quantize_dense_tree(tree, stages={"stage_1"})
+    assert out["patch_embed"]["proj"]["kernel"].dtype == jnp.float32
+    assert out["stage_0"]["qkv"]["kernel"].dtype == jnp.float32
+    assert out["stage_0"]["fc1"]["kernel"].dtype == jnp.float32
+    assert out["stage_1"]["qkv"]["kernel"].dtype == jnp.int8
+    # no filter (blanket): every QUANT_DENSE_NAMES match quantizes
+    out_all = quantize_dense_tree(tree)
+    assert out_all["stage_0"]["qkv"]["kernel"].dtype == jnp.int8
+    assert out_all["stage_1"]["qkv"]["kernel"].dtype == jnp.int8
+
+
 @pytest.fixture(scope="module")
 def tiny_v2():
     cfg = json.loads(
@@ -146,14 +173,20 @@ def test_int8_v1_and_v2old_and_convnext_reject():
     m1.init_params(seed=0)
     rgb = np.random.default_rng(0).uniform(0, 1, (1, 56, 70, 3)).astype(np.float32)
     d_fp = np.asarray(m1.infer(rgb)["depth"])
+    # V1's depth head is exp(logit): blanket int8 exponentiates logit noise
+    # (~12% mean rel depth drift on random weights vs ~1.5% for V2), so the
+    # mixin REJECTS blanket int8 for V1 and requires per-stage calibration
+    with pytest.raises(ValueError, match="calibrate_int8_stages"):
+        m1.set_serving_precision("int8")
+    report = m1.calibrate_int8_stages(rgb, max_rel_err=0.05)
+    assert any(report["selected"]) and report["rel_err"] <= 0.05
     m1.set_serving_precision("int8")
     d_q = np.asarray(m1.infer(rgb)["depth"])
     rel = np.abs(d_fp - d_q) / (np.abs(d_fp) + 1e-6)
-    # V1's depth head is exp(logit): on RANDOM weights the int8 logit noise
-    # exponentiates (~12% mean rel here vs ~1.5% for V2's structure), so
-    # this bound only pins "wired correctly", not deployment accuracy —
-    # docs/SERVING.md requires real-checkpoint validation before enabling.
-    assert np.isfinite(d_q).all() and rel.mean() < 0.25, rel.mean()
+    # calibrated V1 int8 meets the V2-class regime (the V2 gate above is
+    # rel.mean() < 0.05) — the selection is measured, not assumed
+    assert np.isfinite(d_q).all() and rel.mean() < 0.05, rel.mean()
+    m1.set_serving_precision("default")
 
     cfgo = _json.loads((root / "configs/config_v2old_vitl14.json").read_text())
     cfgo["model"]["pixel_encoder"]["name"] = "dinov2_vits14"

@@ -307,7 +307,10 @@ class DinoViT(nn.Module):
     attn_impl: str = "auto"  # 'auto' | 'flash' | 'xla'
     remat: bool = True  # rematerialize blocks under grad (no fwd-only cost)
     unroll: int = 1  # lax.scan unroll factor (XLA can pipeline across blocks)
-    quant: bool = False  # int8 serving GEMMs in every block (ops/quant.py)
+    quant: bool | tuple = False  # int8 serving GEMMs (ops/quant.py): one
+    # bool for every block, or a per-STAGE tuple (len(output_idx)) for
+    # sensitivity-calibrated selective quantization (exp-head V1 serving:
+    # ServingPrecisionMixin.calibrate_int8_stages)
     fused: str = "auto"  # fused LN->GEMM + QKV-direct attention (ViTBlock.fused)
     dtype: Dtype = jnp.float32
 
@@ -436,7 +439,9 @@ class DinoViT(nn.Module):
                 ffn_layer=cfg.ffn_layer,
                 collect=collect_ys,
                 attn_impl=self.attn_impl,
-                quant=self.quant,
+                quant=self.quant
+                if isinstance(self.quant, bool)
+                else bool(self.quant[si]),
                 fused=self.fused,
                 dtype=self.dtype,
                 name=f"stage_{si}",

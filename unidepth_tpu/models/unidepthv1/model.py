@@ -51,6 +51,11 @@ def _v1_paddings(image_shape, network_shape):
 
 class UniDepthV1(ServingPrecisionMixin):
     PATCH = 14
+    # V1's depth head is exp(logit) (reference unidepthv1/decoder.py:~430):
+    # blanket int8 GEMM noise exponentiates (~12% mean rel depth drift vs
+    # ~1.5% for V2's structure), so int8 serving requires the per-stage
+    # sensitivity calibration (ServingPrecisionMixin.calibrate_int8_stages)
+    INT8_REQUIRES_CALIBRATION = True
 
     def __init__(
         self,

@@ -98,19 +98,34 @@ class QuantDense(nn.Module):
         return y.astype(self.dtype)
 
 
-def quantize_dense_tree(params, names: tuple[str, ...] = QUANT_DENSE_NAMES):
+def quantize_dense_tree(
+    params,
+    names: tuple[str, ...] = QUANT_DENSE_NAMES,
+    stages: set[str] | None = None,
+):
     """Walk a flax param tree; for every submodule dict named in ``names``
     that looks like a Dense ({kernel: float (..., K, N), bias}), replace it
     with the QuantDense layout ({kernel: int8, scale, bias}). Leaves
-    everything else (LN, layerscale, pos embeds, ...) untouched."""
+    everything else (LN, layerscale, pos embeds, ...) untouched.
 
-    def walk(tree):
+    ``stages``: when given, only denses under a scan-stage subtree whose
+    key is in the set (e.g. {'stage_0', 'stage_2'}) are quantized — the
+    layout for a per-stage ``DinoViT.quant`` tuple (selective int8,
+    ServingPrecisionMixin.calibrate_int8_stages)."""
+
+    # with a stage filter, ONLY denses under a selected stage_* subtree
+    # quantize; anything outside a stage (patch embed, final norm) stays
+    def walk(tree, enabled=stages is None):
         if not isinstance(tree, dict):
             return tree
         out = {}
         for key, val in tree.items():
+            if stages is not None and key.startswith("stage_"):
+                out[key] = walk(val, enabled=key in stages)
+                continue
             if (
-                key in names
+                enabled
+                and key in names
                 and isinstance(val, dict)
                 and "kernel" in val
                 and hasattr(val["kernel"], "dtype")
@@ -130,7 +145,7 @@ def quantize_dense_tree(params, names: tuple[str, ...] = QUANT_DENSE_NAMES):
                     )
                 out[key] = new
             else:
-                out[key] = walk(val)
+                out[key] = walk(val, enabled)
         return out
 
     return walk(params)
