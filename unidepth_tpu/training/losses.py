@@ -8,8 +8,10 @@ redesigns where the torch code relies on dynamic shapes:
     alignment is one static-shape affine bilinear grid-sample.
   * LocalSSI: the reference unfolds with per-step random kernel sizes
     (local_ssi.py:126-175 — a recompile per step under jit); here each
-    level uses the log-mean kernel (the reference's eval behaviour) with
-    the random shift kept as a traced ``jnp.roll``.
+    level's log-uniform kernel draw is quantized to ``kernel_buckets``
+    static sizes selected by ``lax.switch`` (one compile per bucket), with
+    the random shift kept as a traced ``jnp.roll``. Eval uses the
+    log-mean kernel, the reference's own eval behaviour.
   * EdgeGuidedLocalSSI: data-dependent strong-edge sampling becomes a
     static ``top_k`` over blurred Sobel magnitude; patch gather is the
     vmapped dynamic-slice op (ops/patches.py) replacing the CUDA
@@ -346,7 +348,33 @@ class LocalSSI:
     input_fn: str = "linear"
     output_fn: str = "sqrt"
     eps: float = 1e-5
+    kernel_buckets: int = 4  # static kernel sizes per level at train time
     name: str = "LocalSSI"
+
+    def _level(self, input, target, mask, key, k: int):
+        """One pyramid level at a STATIC kernel size ``k`` -> (B,) loss.
+        ``key`` (optional) drives the reference's random roll that brings
+        the right/bottom unfold remainder back into a window
+        (local_ssi.py:139-151)."""
+        _, h, w, _ = input.shape
+        stride = (max(1, int(k * 0.9)),) * 2
+        if key is not None:
+            max_roll = ((w - k) % stride[1], (h - k) % stride[0])
+            shift = jax.random.randint(
+                key, (2,), jnp.asarray([-max_roll[1], -max_roll[0]]), 1
+            )
+            input = jnp.roll(input, shift, axis=(1, 2))
+            target = jnp.roll(target, shift, axis=(1, 2))
+            mask = jnp.roll(mask, shift, axis=(1, 2))
+        pi = _unfold(input, (k, k), stride)
+        pt = _unfold(target, (k, k), stride)
+        pm = _unfold(mask.astype(jnp.float32), (k, k), stride) > 0.5
+        pin, ptn, _ = ssi_normalize(pi, pt, pm, axis=-1)
+        err = jnp.abs(pin - ptn)
+        valid = pm.sum(axis=-1) >= self.min_samples
+        err_patch = masked_mean(err, pm, axis=-1, keepdims=False)
+        err_img = FNS[self.output_fn](jnp.maximum(err_patch, self.eps))
+        return masked_mean(err_img, valid, axis=-1, keepdims=False)
 
     def __call__(self, input, target, mask, rng=None, **kw):
         input = FNS[self.input_fn](input.astype(jnp.float32))
@@ -362,32 +390,41 @@ class LocalSSI:
         # (32, 32) pixel default would degenerate to a whole-image kernel.
         # Support both conventions: values <= 1 are fractions, > 1 pixels.
         fractional = max(self.patch_size) <= 1.0
+
+        def k_of(log_k: float) -> int:
+            k = 2.0**log_k
+            k = int(k * min(h, w)) if fractional else int(round(k))
+            return max(2, min(k, min(h, w)))
+
         total = []
         for lo, hi in zip(logr[:-1], logr[1:]):
-            k = 2 ** ((lo + hi) / 2)
-            k = int(k * min(h, w)) if fractional else int(round(k))
-            k = max(2, min(k, min(h, w)))
-            stride = (max(1, int(k * 0.9)),) * 2
             if rng is not None:
-                rng, sub = jax.random.split(rng)
-                max_roll = ((w - k) % stride[1], (h - k) % stride[0])
-                shift = jax.random.randint(
-                    sub, (2,), jnp.asarray([-max_roll[1], -max_roll[0]]), 1
+                # the reference draws log_kernel ~ U(lo, hi) per step
+                # (local_ssi.py:127-134) — a shape change jit cannot trace.
+                # Quantize the draw to `kernel_buckets` static sizes (the
+                # bucket midpoints of U(lo, hi)) and lax.switch per step:
+                # every bucket compiles once, the kernel distribution's
+                # mean and spread survive (docs/LOSS_DRIFT.md measures the
+                # residual drift).
+                rng, k_key, r_key = jax.random.split(rng, 3)
+                ks = sorted(
+                    {
+                        k_of(lo + (i + 0.5) * (hi - lo) / self.kernel_buckets)
+                        for i in range(self.kernel_buckets)
+                    }
                 )
-                inp = jnp.roll(input, shift, axis=(1, 2))
-                tgt = jnp.roll(target, shift, axis=(1, 2))
-                msk = jnp.roll(mask, shift, axis=(1, 2))
+                branches = [
+                    (lambda inp, tgt, msk, key, k=k: self._level(inp, tgt, msk, key, k))
+                    for k in ks
+                ]
+                idx = jax.random.randint(k_key, (), 0, len(ks))
+                total.append(
+                    jax.lax.switch(idx, branches, input, target, mask, r_key)
+                )
             else:
-                inp, tgt, msk = input, target, mask
-            pi = _unfold(inp, (k, k), stride)
-            pt = _unfold(tgt, (k, k), stride)
-            pm = _unfold(msk.astype(jnp.float32), (k, k), stride) > 0.5
-            pin, ptn, _ = ssi_normalize(pi, pt, pm, axis=-1)
-            err = jnp.abs(pin - ptn)
-            valid = pm.sum(axis=-1) >= self.min_samples
-            err_patch = masked_mean(err, pm, axis=-1, keepdims=False)
-            err_img = FNS[self.output_fn](jnp.maximum(err_patch, self.eps))
-            total.append(masked_mean(err_img, valid, axis=-1, keepdims=False))
+                total.append(
+                    self._level(input, target, mask, None, k_of((lo + hi) / 2))
+                )
         # global term
         gi = input.reshape(b, -1)
         gt_ = target.reshape(b, -1)
@@ -407,6 +444,7 @@ class LocalSSI:
             num_levels=cfg.get("num_levels", 4),
             input_fn=cfg.get("input_fn", "linear"),
             output_fn=cfg.get("output_fn", "sqrt"),
+            kernel_buckets=cfg.get("kernel_buckets", 4),
         )
 
 
