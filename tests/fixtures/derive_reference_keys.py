@@ -26,8 +26,16 @@ OUT = Path(__file__).parent
 
 
 def _install_stubs():
+    # Idempotent: already-imported reference modules hold references to the
+    # existing stub objects (``import torchvision...functional as TF`` binds
+    # the module object), so re-installing fresh ones would leave later
+    # monkeypatches (e.g. test_infer_reference_parity's TF.normalize) on
+    # objects the reference never sees.
+    if getattr(sys.modules.get("torchvision"), "__unidepth_stub__", False):
+        return
     # torchvision: only used inside infer()/preprocess at runtime
     tv = types.ModuleType("torchvision")
+    tv.__unidepth_stub__ = True
     tf = types.ModuleType("torchvision.transforms")
     tff = types.ModuleType("torchvision.transforms.functional")
     tv2 = types.ModuleType("torchvision.transforms.v2")

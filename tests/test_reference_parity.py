@@ -303,13 +303,22 @@ def test_v1_convnext_matches_reference(reference):
 
 
 def test_v2old_matches_reference(reference):
-    """V2old: the final depth passes through a whole-map layer-norm whose
-    1/std amplifies upstream fp32 noise ~10x at random weights (reference
-    decoder_old.py:509: F.layer_norm(logdepth).exp(); measured logdepth
-    std ~0.1 here vs ~1 with trained weights). So the tight gates sit on
-    the PRE-norm quantities — raw logdepth, the GlobalHead scale/shift,
-    K, confidence — and the end-to-end depth gets a documented looser
-    bound consistent with that amplification."""
+    """V2old: the final depth passes through a whole-map layer-norm
+    (reference decoder_old.py:509: F.layer_norm(logdepth).exp()) whose
+    1/std amplifies upstream fp32 noise ~1/std(logdepth) (~50x at random
+    weights, measured std 0.018 vs ~1 trained). NOTE: rescaling weights
+    cannot fix this — scaling ``to_depth`` by 1/std scales signal AND
+    upstream noise together and F.layer_norm is exactly scale-invariant
+    (measured: rescaling logdepth std 0.018 -> 1.0 left the e2e error
+    unchanged). So this test gates in two regimes:
+      * fp32 (production numerics): tight gates on every PRE-norm
+        quantity — raw logdepth, GlobalHead scale/shift, K, confidence —
+        plus the documented amplification-consistent e2e bound;
+      * float64 both sides, same weights: the <1e-3 e2e depth CONTRACT
+        (same as V1/V2). With the fp noise floor pushed to ~1e-12 any
+        *semantic* divergence (a wrong op, wrong layer order, wrong
+        normalization) would surface at full size; the fp32 residual is
+        thereby pinned as rounding, not semantics."""
     from unidepth_tpu.models.unidepthv2.old import UniDepthV2old
 
     cfg_name = "config_v2old_vits14"
@@ -372,8 +381,54 @@ def test_v2old_matches_reference(reference):
     conf_t = out_t["confidence"].numpy().transpose(0, 2, 3, 1)
     conf_j = np.asarray(out_j["confidence"])
     assert np.abs(conf_j - conf_t).max() < 1e-3, "V2old confidence"
-    # end-to-end depth: 5e-4 logdepth noise x ~10 layer-norm amplification
+    # fp32 end-to-end depth: logdepth noise x ~1/std(logdepth) layer-norm
+    # amplification (see docstring — weight scaling cannot tighten this)
     depth_t = out_t["depth"].numpy().transpose(0, 2, 3, 1)
     rel = _rel_err(out_j["depth"], depth_t)
     assert np.median(rel) < 2e-3, f"median rel depth err {np.median(rel):.2e}"
     assert rel.max() < 2e-2, f"max rel depth err {rel.max():.2e}"
+
+    # --- float64 semantic e2e gate: the <1e-3 contract -----------------
+    # Same (f32-representable) weights, both sides computing in f64: the
+    # layer-norm amplification now acts on a ~1e-12 noise floor, so any
+    # e2e depth disagreement above 1e-3 would be a semantic divergence.
+    import jax
+
+    # reference code creates some intermediates at torch's default dtype
+    # (e.g. torch.eye(3) in utils/geometric.py:generate_rays), so the f64
+    # pass also needs the default switched
+    prev_default = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        with torch.no_grad():
+            ref64 = ref_model.double()
+            out_t64 = ref64(
+                {
+                    "image": torch.from_numpy(img).double(),
+                    "depth": torch.zeros(1, 1, H, W, dtype=torch.float64),
+                },
+                [],
+            )
+    finally:
+        torch.set_default_dtype(prev_default)
+    with jax.enable_x64(True):
+        params64 = jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64)
+            if np.asarray(x).dtype == np.float32
+            else x,
+            params,
+        )
+        model64 = UniDepthV2old.from_config(config, dtype=jnp.float64)
+        feats64, cls64 = model64.encoder.apply(
+            {"params": params64["encoder"]},
+            jnp.asarray(img.transpose(0, 2, 3, 1), jnp.float64),
+        )
+        cam64 = [cls64[-3], cls64[-2], cls64[-1], cls64[-2]]
+        glob64 = [cls64[-2], cls64[-1]]
+        out_j64 = model64.decoder.apply(
+            {"params": params64["decoder"]}, feats64, cam64, glob64, (H, W)
+        )
+        depth_t64 = out_t64["depth"].numpy().transpose(0, 2, 3, 1)
+        rel64 = _rel_err(out_j64["depth"], depth_t64)
+    print(f"\nV2old f64 semantic e2e rel depth err: max {rel64.max():.2e}")
+    assert rel64.max() < 1e-3, f"f64 semantic rel depth err {rel64.max():.2e}"

@@ -400,7 +400,7 @@ class MirrorConvUpsample(nn.Module):
         for _ in range(num_layers):
             blk = nn.Module()
             blk.dwconv = nn.Conv2d(dim, dim, kernel_size, padding=kernel_size // 2, groups=dim)
-            blk.norm = nn.LayerNorm(dim, eps=1e-6)
+            blk.norm = nn.LayerNorm(dim)  # torch default eps=1e-5, matching reference convnext.py:25
             blk.pwconv1 = nn.Linear(dim, expansion * dim)
             blk.pwconv2 = nn.Linear(expansion * dim, dim)
             blk.gamma = nn.Parameter(torch.ones(dim))
@@ -584,7 +584,7 @@ class MirrorShuffleResidualUp(nn.Module):
         for _ in range(num_layers):
             blk = nn.Module()
             blk.dwconv = nn.Conv2d(dim, dim, kernel_size, padding=kernel_size // 2, groups=dim)
-            blk.norm = nn.LayerNorm(dim, eps=1e-6)
+            blk.norm = nn.LayerNorm(dim)  # torch default eps=1e-5, matching reference convnext.py:25
             blk.pwconv1 = nn.Linear(dim, expansion * dim)
             blk.pwconv2 = nn.Linear(expansion * dim, dim)
             blk.gamma = nn.Parameter(torch.ones(dim))

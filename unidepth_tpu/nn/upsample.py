@@ -47,7 +47,8 @@ class CvnxtBlock(nn.Module):
             dtype=self.dtype,
             name="dwconv",
         )(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        # torch nn.LayerNorm default eps (reference convnext.py:25 passes none)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
         x = x.astype(self.dtype)
         x = nn.Dense(self.expansion * self.dim, dtype=self.dtype, name="pwconv1")(x)
         x = nn.gelu(x, approximate=False)
