@@ -190,3 +190,91 @@ def test_fused_auto_defers_under_mesh(rng):
     assert _block("auto", ffn_layer="swiglu")._use_fused(1370, 128, True) is False
     # non-lane-tiled dims never fuse
     assert _block("auto", c=96)._use_fused(1370, 96, True) is False
+
+
+# ---- r5: the same ln_dense fusion applied to the ConvNeXt MLPs ----------
+# (encoder ConvNeXtBlock, models/backbones/convnext.py; decoder CvnxtBlock,
+# nn/upsample.py — reference hot loops convnext.py:130-226 and
+# layers/convnext.py:5-45). docs/PERF.md "ConvNeXt serving anatomy".
+
+
+@pytest.mark.parametrize("use_grn", [False, True])
+def test_convnext_block_fused_matches_unfused(rng, use_grn):
+    """Fused ConvNeXtBlock (LN+pwconv1+GELU in one kernel after the dwconv)
+    == unfused flax math, with a byte-identical param tree. C=192 covers
+    the non-128-multiple lane case the relaxed ln_dense guard admits
+    (stage 0 of ConvNeXt-L)."""
+    from unidepth_tpu.models.backbones.convnext import ConvNeXtBlock
+
+    c = 192
+    x = jnp.asarray(rng.standard_normal((2, 10, 14, c)) * 0.5, jnp.float32)
+    blk_off = ConvNeXtBlock(dim=c, use_grn=use_grn, fused="off", dtype=jnp.float32)
+    blk_on = ConvNeXtBlock(dim=c, use_grn=use_grn, fused="on", dtype=jnp.float32)
+    params = blk_off.init(jax.random.PRNGKey(0), x)
+    p2 = blk_on.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    (out_off, _), (out_on, _) = blk_off.apply(params, x), blk_on.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out_on), np.asarray(out_off), rtol=5e-5, atol=5e-5
+    )
+
+
+def test_cvnxt_block_fused_matches_unfused(rng):
+    """Decoder CvnxtBlock fused path (eps=1e-5) == unfused flax math."""
+    from unidepth_tpu.nn.upsample import CvnxtBlock
+
+    c = 128
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, c)) * 0.5, jnp.float32)
+    blk_off = CvnxtBlock(c, fused="off", dtype=jnp.float32)
+    blk_on = CvnxtBlock(c, fused="on", dtype=jnp.float32)
+    params = blk_off.init(jax.random.PRNGKey(0), x)
+    p2 = blk_on.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    np.testing.assert_allclose(
+        np.asarray(blk_on.apply(params, x)),
+        np.asarray(blk_off.apply(params, x)),
+        rtol=5e-5,
+        atol=5e-5,
+    )
+
+
+def test_convnext_block_fused_grads_match(rng):
+    from unidepth_tpu.models.backbones.convnext import ConvNeXtBlock
+
+    c = 128
+    x = jnp.asarray(rng.standard_normal((1, 6, 8, c)) * 0.5, jnp.float32)
+    blk_off = ConvNeXtBlock(dim=c, fused="off", dtype=jnp.float32)
+    blk_on = ConvNeXtBlock(dim=c, fused="on", dtype=jnp.float32)
+    params = blk_off.init(jax.random.PRNGKey(0), x)
+
+    def loss(blk, p):
+        out, _ = blk.apply(p, x)
+        return jnp.sum(out**2)
+
+    g_off = jax.tree_util.tree_leaves_with_path(
+        jax.grad(lambda p: loss(blk_off, p))(params)
+    )
+    g_on = dict(
+        jax.tree_util.tree_leaves_with_path(jax.grad(lambda p: loss(blk_on, p))(params))
+    )
+    for path, a in g_off:
+        np.testing.assert_allclose(
+            np.asarray(g_on[path]),
+            np.asarray(a),
+            rtol=2e-4,
+            atol=2e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_conv_fused_auto_defers_on_cpu_and_mesh():
+    """'auto' resolves off on CPU and under an ambient mesh; 'on' forces;
+    non-lane-tiled expansions never fuse."""
+    from unidepth_tpu.models.backbones.convnext import ConvNeXtBlock
+    from unidepth_tpu.nn.upsample import CvnxtBlock
+
+    assert ConvNeXtBlock(dim=192, fused="auto")._use_fused() is False  # cpu
+    assert ConvNeXtBlock(dim=192, fused="on")._use_fused() is True
+    assert ConvNeXtBlock(dim=100, fused="on")._use_fused() is False  # 400 % 128
+    assert CvnxtBlock(96, expansion=4, fused="on")._use_fused() is True  # f=384
+    assert CvnxtBlock(96, expansion=3, fused="on")._use_fused() is False  # f=288

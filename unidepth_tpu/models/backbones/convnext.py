@@ -62,7 +62,27 @@ class ConvNeXtBlock(nn.Module):
     dim: int
     use_grn: bool = False
     ls_init: float = 1e-6
+    fused: str = "auto"  # 'auto' | 'on' | 'off': LN -> pwconv1 -> GELU in
+    # one Pallas kernel (ops/fused_block.ln_dense, the r5 ViT win applied
+    # to the ConvNeXt MLP); 'auto' engages on TPU when the stage is
+    # lane-tiled (C, 4C multiples of 128 — stages 1-3 of ConvNeXt-L) and
+    # no mesh is ambient (GSPMD cannot partition an opaque pallas_call)
     dtype: Dtype = jnp.float32
+
+    def _use_fused(self) -> bool:
+        import jax
+
+        from unidepth_tpu.ops.fused_block import ln_dense_supported
+
+        if self.fused == "off" or not ln_dense_supported(self.dim, 4 * self.dim):
+            return False
+        if self.fused == "on":
+            return True
+        if jax.default_backend() in ("cpu",):
+            return False
+        from unidepth_tpu.parallel.mesh import ambient_mesh
+
+        return ambient_mesh() is None
 
     @nn.compact
     def __call__(self, x, rate=None):
@@ -78,9 +98,24 @@ class ConvNeXtBlock(nn.Module):
             dtype=self.dtype,
             name="dwconv",
         )(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
-        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x.astype(self.dtype))
-        x = nn.gelu(x, approximate=False)
+        if self._use_fused():
+            # dwconv -> [LN + pwconv1 + exact GELU in ONE Pallas kernel]
+            # -> pwconv2: the normalized rows and the erf-GELU never touch
+            # HBM (docs/PERF.md "ConvNeXt serving anatomy", r5). Params are
+            # declared with the exact nn.LayerNorm / nn.Dense trees so the
+            # checkpoint layout is byte-identical to the unfused path.
+            from unidepth_tpu.nn.layers import DenseParams, LNParams
+            from unidepth_tpu.ops.fused_block import ln_dense
+
+            g, bt = LNParams(name="norm")(self.dim)
+            w1, b1 = DenseParams(4 * self.dim, name="pwconv1")(self.dim)
+            x = ln_dense(x, w1.astype(self.dtype), b1, g, bt, 1e-6, "gelu")
+        else:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+            x = nn.Dense(
+                4 * self.dim, dtype=self.dtype, name="pwconv1"
+            )(x.astype(self.dtype))
+            x = nn.gelu(x, approximate=False)
         if self.use_grn:
             gx = jnp.sqrt(jnp.sum(jnp.square(x), axis=(1, 2), keepdims=True) + 1e-12)
             nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
@@ -104,6 +139,7 @@ class ConvNeXtBlock(nn.Module):
 class ConvNeXt(nn.Module):
     cfg: ConvNeXtConfig
     stacking: str = "last"  # 'last' | 'max_cls'
+    fused: str = "auto"  # fused LN->pwconv1->GELU kernel (ConvNeXtBlock.fused)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -151,7 +187,11 @@ class ConvNeXt(nn.Module):
             )
             block0 += depth
             x, ys = Scanned(
-                dim=dim, use_grn=cfg.use_grn, dtype=self.dtype, name=f"stage_{si}"
+                dim=dim,
+                use_grn=cfg.use_grn,
+                fused=self.fused,
+                dtype=self.dtype,
+                name=f"stage_{si}",
             )(x, rates)
             if self.stacking == "max_cls":
                 feats.append(jnp.max(ys, axis=0))

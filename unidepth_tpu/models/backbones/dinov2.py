@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from unidepth_tpu.nn.layers import DenseParams as _DenseParams
+from unidepth_tpu.nn.layers import LNParams as _LNParams
 from unidepth_tpu.ops.attention import sdpa
 from unidepth_tpu.ops.resize import resize
 
@@ -64,33 +66,6 @@ VIT_PRESETS: dict[str, ViTConfig] = {
     "vitb14": ViTConfig(embed_dim=768, depth=12, num_heads=12, output_idx=(3, 6, 9, 12)),
     "vitl14": ViTConfig(embed_dim=1024, depth=24, num_heads=16, output_idx=(6, 12, 18, 24)),
 }
-
-
-class _DenseParams(nn.Module):
-    """Declares the exact param tree of an ``nn.Dense`` (kernel + bias,
-    default initializers) WITHOUT applying it — the fused block path
-    consumes the raw weights inside Pallas kernels while keeping the
-    checkpoint tree byte-identical to the unfused modules."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return kernel, bias
-
-
-class _LNParams(nn.Module):
-    """Param tree of an ``nn.LayerNorm`` (scale + bias) without applying."""
-
-    @nn.compact
-    def __call__(self, dim: int):
-        scale = self.param("scale", nn.initializers.ones, (dim,))
-        bias = self.param("bias", nn.initializers.zeros, (dim,))
-        return scale, bias
 
 
 class ViTBlock(nn.Module):

@@ -258,3 +258,30 @@ def drop_path(x, rate, rng, deterministic: bool = True):
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, keep, shape)
     return jnp.where(mask, x / keep.astype(x.dtype), jnp.zeros((), x.dtype))
+
+class DenseParams(nn.Module):
+    """Declares the exact param tree of an ``nn.Dense`` (kernel + bias,
+    default initializers) WITHOUT applying it — fused Pallas block paths
+    consume the raw weights while keeping the checkpoint tree byte-identical
+    to the unfused modules."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class LNParams(nn.Module):
+    """Param tree of an ``nn.LayerNorm`` (scale + bias) without applying."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        return scale, bias
+

@@ -27,7 +27,28 @@ class CvnxtBlock(nn.Module):
     expansion: int = 4
     layer_scale: float = 1.0
     padding_mode: str = "zeros"
+    fused: str = "auto"  # 'auto' | 'on' | 'off': LN -> pwconv1 -> GELU in one
+    # Pallas kernel (ops/fused_block.ln_dense) — same gating as the ConvNeXt
+    # encoder block (models/backbones/convnext.py): TPU, lane-tiled dims,
+    # no ambient mesh
     dtype: Dtype = jnp.float32
+
+    def _use_fused(self) -> bool:
+        import jax
+
+        from unidepth_tpu.ops.fused_block import ln_dense_supported
+
+        if self.fused == "off" or not ln_dense_supported(
+            self.dim, self.expansion * self.dim
+        ):
+            return False
+        if self.fused == "on":
+            return True
+        if jax.default_backend() in ("cpu",):
+            return False
+        from unidepth_tpu.parallel.mesh import ambient_mesh
+
+        return ambient_mesh() is None
 
     @nn.compact
     def __call__(self, x):
@@ -47,11 +68,20 @@ class CvnxtBlock(nn.Module):
             dtype=self.dtype,
             name="dwconv",
         )(x)
-        # torch nn.LayerNorm default eps (reference convnext.py:25 passes none)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
-        x = x.astype(self.dtype)
-        x = nn.Dense(self.expansion * self.dim, dtype=self.dtype, name="pwconv1")(x)
-        x = nn.gelu(x, approximate=False)
+        if self._use_fused():
+            from unidepth_tpu.nn.layers import DenseParams, LNParams
+            from unidepth_tpu.ops.fused_block import ln_dense
+
+            g, bt = LNParams(name="norm")(self.dim)
+            w1, b1 = DenseParams(self.expansion * self.dim, name="pwconv1")(self.dim)
+            # torch LayerNorm default eps (reference convnext.py:25 passes none)
+            x = ln_dense(x, w1.astype(self.dtype), b1, g, bt, 1e-5, "gelu")
+        else:
+            # torch nn.LayerNorm default eps (reference convnext.py:25)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
+            x = x.astype(self.dtype)
+            x = nn.Dense(self.expansion * self.dim, dtype=self.dtype, name="pwconv1")(x)
+            x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
         gamma = self.param(
             "gamma", nn.initializers.constant(self.layer_scale), (self.dim,)
